@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Defaults are tuned for the local[32] test box but express
+cluster-portable intent: AQE for runtime re-planning (skew joins,
+partition coalescing), shuffle partitions sized to cores (would be
+~2-3x total cores on a real cluster), Arrow for every pandas UDF
+exchange, UTC session timezone so timestamps hash-match the DuckDB
+oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "confluent-firehose-spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by the
+        # vectorized reader; read as long and normalize in catalog.py
+        # (integer-divide to micros — matches DuckDB's own truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
