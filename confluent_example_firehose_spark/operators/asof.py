@@ -1,0 +1,103 @@
+"""As-of join — an operator Spark lacks natively (SURVEY.md §2.B).
+
+Two implementations with identical semantics:
+
+1. `asof_join_agg` (default): composition of built-ins — range-condition
+   LEFT join + max_by per left row. Catalyst plans the equi-part of the
+   condition as a hash join and the range part as a post-join filter;
+   the groupBy collapses candidates with a partial agg. Right
+   (reference) side is typically a dimension -> broadcast it and the
+   fact never shuffles.
+
+2. `asof_join_merge`: cogrouped applyInPandas running pd.merge_asof per
+   key group — the scale path when the per-key candidate multiplicity
+   of (1) explodes (e.g. minute-level quotes vs trades). Sort-merge
+   within group, O(n+m) per key instead of O(n*m).
+
+Both keep last-match-wins determinism via a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join_agg(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """For each left row: the right row with max (right_time, tiebreak)
+    among rows with matching key and right_time <= left_time. Left rows
+    with no match keep nulls (left-asof semantics)."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond = (left[left_on] == r[right_on]) & (r[right_time] <= left[left_time])
+    joined = left.join(r, cond, "left")
+    order = F.struct(r[right_time], r[right_tiebreak])
+    matched = F.struct(*[r[c] for c in right_cols])
+    # Null ordering key for unmatched rows -> max_by skips them; a group
+    # that is entirely unmatched yields null (left-join preservation).
+    order_or_null = F.when(r[right_tiebreak].isNotNull(), order)
+    agg = joined.groupBy(*[left[c] for c in left.columns]).agg(
+        F.max_by(matched, order_or_null).alias("_match")
+    )
+    out = agg
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"_match.{c}"))
+    return out.drop("_match")
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Cogrouped pd.merge_asof: both sides shuffle once on the key; each
+    cogroup sorts locally and merges in O(n+m). Arrow moves the batches.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in left.schema.fields
+        + [right.schema[c] for c in right_cols]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=list(lpdf.columns) + right_cols)
+        lpdf = lpdf.sort_values([left_time])
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[c] = None
+            return lpdf
+        # stable sort: tiebreak last so merge_asof's "last match" is the
+        # max (right_time, tiebreak) — same as asof_join_agg
+        rpdf = rpdf.sort_values([right_time, right_tiebreak])
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[right_time] + [c for c in right_cols if c != right_time]],
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+        )
+        if right_time not in right_cols:
+            merged = merged.drop(columns=[right_time])
+        return merged
+
+    return (
+        left.groupBy(left_on)
+        .cogroup(right.groupBy(right_on))
+        .applyInPandas(merge, out_schema)
+    )

@@ -1,1 +1,149 @@
-"""Populated below."""
+"""Deduplication declared queries (SURVEY.md §2.C) over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import (
+    hamming64,
+    jaccard,
+    minhash_candidate_pairs,
+    simhash64,
+    word_shingles,
+    words,
+)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, dup_count
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               count(*) OVER (PARTITION BY key) AS dup_count,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+        FROM (
+            SELECT *, array_to_string(string_split(text, ' ')[1:3], ' ') AS key
+            FROM documents
+        )
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content fingerprint (first-3-words key): keep
+    the min-doc_id representative per group + group size.
+
+    hash-groupBy with min_by: partial+final agg, no window sort — the
+    state per group is one row, so this survives any input size (the
+    full-text twin keys on the whole document; same plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    rep = F.struct("doc_id", "lang", "source", "n_chars")
+    return (
+        d.withColumn("key", key)
+        .groupBy("key")
+        .agg(
+            F.min_by(rep, F.col("doc_id")).alias("w"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("w.doc_id", "w.lang", "w.source", "w.n_chars", "dup_count")
+    )
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ws
+        FROM documents
+    )
+    SELECT id_a, id_b, jac
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+               AS jac
+        FROM w a, w b
+        WHERE a.doc_id < b.doc_id
+    )
+    ORDER BY jac DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-set) Jaccard near-dup: top-20 most similar pairs.
+
+    Brute-force all-pairs at oracle scale for exactness; the scale path
+    is q_dedup_near's LSH candidate generation (same verify kernel).
+    Integer set sizes -> single double division, bit-identical to the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(
+        F.col("doc_id").alias("_id"), F.array_distinct(words("text")).alias("ws")
+    )
+    a = ws.select(F.col("_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = ws.select(F.col("_id").alias("id_b"), F.col("ws").alias("wb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", jaccard(F.col("wa"), F.col("wb")).alias("jac")
+        )
+        .orderBy(F.col("jac").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register("q_dedup_near", oracle=None)  # LSH candidates: rows-only
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle -> 16 minhashes -> 4 bands
+    -> bucket-join candidates -> exact Jaccard verify (>= 0.2).
+
+    The scale path: candidate generation shuffles on (band_id,
+    band_hash) — O(n) not O(n^2). Verified pairs carry their exact
+    shingle Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(d, "doc_id", "text")
+    sh = d.select(
+        F.col("doc_id").alias("_id"), word_shingles("text").alias("sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", jaccard(F.col("sha"), F.col("shb")).alias("jac")
+        )
+        .filter(F.col("jac") >= 0.2)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+@register("q_dedup_simhash", oracle=None)  # rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints; pairs within Hamming
+    distance 16. Candidate generation here is a broadcast self-join on
+    the fingerprint table (small); at scale, block on fingerprint
+    prefixes (pigeonhole: d<=16 over 4 blocks -> one block equal)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id").alias("_id"),
+        simhash64(word_shingles("text")).alias("fp"),
+    )
+    a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 16)
+    )

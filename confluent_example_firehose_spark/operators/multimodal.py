@@ -1,0 +1,105 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design (SURVEY-mandated north star): image/audio/video travel as
+`binary` columns with a typed metadata struct alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` stages. The codec libraries (PIL/ffmpeg/etc.) are NOT in
+this container, so the decode kernel itself is stubbed — either a
+clearly-marked NotImplementedError or a deterministic fake — while the
+Spark-side plumbing (schema, batch iteration, partition mapping, UDF
+signatures) is real and tested.
+
+Scale notes: mapInPandas streams Arrow record batches — memory is
+bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`, not
+partition size; decode stages should repartition to many small
+partitions (binary rows are fat) and never groupBy before decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried next to every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic fake payloads: the binary column is the utf-8 text
+    (stands in for encoded image bytes), metadata derived from it.
+    Real ingestion would read the bytes from object storage with
+    `spark.read.format('binaryFile')`."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake/raw").alias("codec"),
+        (F.length(F.col(text_col)) % 640).cast("int").alias("width"),
+        (F.length(F.col(text_col)) % 480).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        meta.alias("media"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real decode needs PIL/turbojpeg (not in this container).
+
+    The mapInPandas plumbing calls extract_features, which uses the
+    deterministic byte-level fake below; swap this in when codecs are
+    available."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg — not available in this "
+        "container; extract_features uses a deterministic byte-level fake"
+    )
+
+
+def extract_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The feature kernel is a deterministic fake (byte histogram moments)
+    standing in for a real vision model; the batch shape, schema, and
+    partition mapping are exactly what the real kernel would use."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                mean = (sum(b) / n) if n else 0.0
+                feat = [float(b[i % n]) if n else 0.0 for i in range(n_dims)]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": n,
+                        "byte_mean": mean,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)

@@ -1,1 +1,158 @@
-"""Populated below."""
+"""Similarity search declared queries (SURVEY.md §2.C) over `embeddings`.
+
+Cosine scores are computed with sequential double folds (functions/
+vector.py) and are bit-identical to DuckDB's list_cosine_similarity on
+DOUBLE[] — verified empirically — so no rounding is needed anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import cosine, dot, to_double_array
+from ..registry import register
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < {N_QUERY_VECS})
+    SELECT query_id, neighbor_id, cos
+    FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id
+               ) AS rn
+        FROM q, e
+        WHERE e.vec_id <> q.query_id
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN baseline: top-k cosine neighbors for each query
+    vector. The query set broadcasts; the corpus streams through one
+    pass (no shuffle of the big side); per-query top-k via window over
+    the small post-join set.
+
+    At 100 TB the exact same plan holds with a bounded query set; for
+    large query sets switch to q_similarity_lsh's bucketed variant."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+    ORDER BY cos DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most similar pairs (the
+    threshold-free formulation; a production near-dup filter is the
+    same plan with `cos > tau`). All-pairs here for oracle exactness;
+    the LSH-bucketed variant (q_similarity_lsh) is the scale path."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded PRNG, generated on the
+    driver, shipped as literals — tiny)."""
+    rng = random.Random(42)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+@register("q_similarity_lsh", oracle=None)  # rows-only: bucketed ANN
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the 100 TB path: bucket vectors by
+    sign-pattern (8 planes -> 256 buckets), search only within the
+    query's bucket. Shuffles on bucket id instead of cross-joining.
+
+    Recall is traded for the O(n^2) -> O(n) candidate cut; production
+    would probe multi-bucket (bit flips). Rows-only: bucket membership
+    is implementation-defined."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    planes = _hyperplanes(8, 64)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(plane, F.col("v")) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bucket.bitwiseOR(bit)
+    bucketed = e.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming twin of the reference's consume loop.
+
+Reference lifecycle (AbstractFirehose.java:113-142): poll <=1000
+records / 60 s -> parse -> handle (keyed gauge upsert) -> endOfSet()
+flush -> async offset commit. Spark mapping (SURVEY.md §1.6):
+
+  poll batch          -> micro-batch (trigger + maxOffsetsPerTrigger)
+  parse + handle      -> same Catalyst plan as the batch pipeline
+  endOfSet() flush    -> foreachBatch(epoch_id, df) sink hook
+  commitAsync         -> checkpoint WAL (option('checkpointLocation'))
+
+The Kafka source is a thin option-builder (kafka-clients jar and a
+broker aren't in this container, so it can't be exercised here); the
+file/rate sources run the identical downstream plan, which is the
+point — Structured Streaming plans are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import METRIC_SCHEMA
+
+# The reference's consumer tuning (Configs.java:28-37), mapped onto
+# Spark's Kafka source options.
+KAFKA_DEFAULTS = {
+    "subscribe": "metrics.v1",  # Configs.java:28
+    "startingOffsets": "latest",  # auto.offset.reset=latest, Configs.java:31
+    "kafka.isolation.level": "read_committed",  # Configs.java:32
+    "maxOffsetsPerTrigger": "1000",  # max.poll.records, Configs.java:33
+    "kafka.fetch.min.bytes": "16000",  # Configs.java:36
+    "failOnDataLoss": "false",
+}
+
+
+def kafka_metric_stream(
+    spark: SparkSession, bootstrap: str, **overrides: str
+) -> DataFrame:
+    """readStream from the metrics topic -> parsed metric rows.
+
+    Byte[] value -> from_json against METRIC_SCHEMA with the permissive
+    skip (AbstractFirehose.java:98-105,118-123)."""
+    opts = dict(KAFKA_DEFAULTS)
+    opts.update(overrides)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .options(**opts)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), METRIC_SCHEMA).alias("m")
+    )
+    return parsed.filter(
+        F.col("m").isNotNull() & F.col("m.name").isNotNull()
+    ).select("m.*")
+
+
+def file_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming twin over the events parquet: identical
+    downstream plan to the Kafka source; used for exercising the
+    streaming layer in this container."""
+    import os
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def latest_value_stream(events: DataFrame) -> DataFrame:
+    """Streaming keyed latest-value state (the gauge cache twin,
+    AbstractPrometheusFirehose.java:41-51): groupBy + max_by in update
+    mode. State store holds one row per series — the streaming
+    equivalent of the 10k-gauge cache."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "60 seconds", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: the producer-side 60 s
+    windows the reference consumes pre-computed
+    (FirehoseMetric.java:26-46) — here we PRODUCE them, with late-data
+    tolerance = watermark (state for closed windows is dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,101 @@
+"""Keyed state with TTL + size-cap eviction — the Guava cache twin.
+
+Reference (AbstractPrometheusFirehose.java:20-30): gauge cache with
+initialCapacity(1000), maximumSize(10000) LRU, expireAfterAccess(10 min),
+and a removal listener unregistering evicted series.
+
+Spark twin: applyInPandasWithState with ProcessingTimeTimeout. Each
+key's GroupState holds (last_value, last_ts, n_events); the timeout is
+reset on every access (= expireAfterAccess semantics); on timeout the
+state is removed and a tombstone row is emitted (= removal listener).
+
+The 10k max-size LRU cap has no per-key-state twin in Spark (state is
+partitioned; no global LRU exists). Documented decision (SURVEY.md §7):
+the cap is a Prometheus-client memory guard, not query semantics; at
+scale the watermark/TTL bounds state instead. A per-partition
+approximation (cap state rows per partition) would be possible inside
+the handler but silently changes results, so we don't.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_type string, last_value double, "
+    "last_ts timestamp, n_events long, evicted boolean"
+)
+STATE_SCHEMA = "last_value double, last_ts timestamp, n_events long"
+
+DEFAULT_TTL_MS = 10 * 60 * 1000  # expireAfterAccess(10, MINUTES)
+
+
+def ttl_latest_value(events: DataFrame, ttl_ms: int = DEFAULT_TTL_MS) -> DataFrame:
+    """Streaming keyed latest-value table with idle-TTL eviction."""
+
+    def handle(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        if state.hasTimedOut:
+            # Removal listener twin: emit a tombstone, drop the state.
+            last_value, last_ts, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "event_type": event_type,
+                        "last_value": last_value,
+                        "last_ts": last_ts,
+                        "n_events": n_events,
+                        "evicted": True,
+                    }
+                ]
+            )
+            return
+        last_value, last_ts, n_events = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            tail = pdf.iloc[-1]
+            if last_ts is None or (tail["ts"], tail["event_id"]) >= (
+                last_ts,
+                -1,
+            ):
+                last_value = float(tail["value"])
+                last_ts = tail["ts"].to_pydatetime()
+            n_events += len(pdf)
+        state.update((last_value, last_ts, n_events))
+        # expireAfterAccess: every touch re-arms the idle timer.
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "last_value": last_value,
+                    "last_ts": last_ts,
+                    "n_events": n_events,
+                    "evicted": False,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        handle,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
