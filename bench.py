@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is the registered engine implementation (same callables the
+driver's correctness gate runs); timing is wall-clock around a full
+materialization (count + a cheap projection collect to force every
+column's evaluation without driver-side result bloat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (SURVEY.md §2) — the firehose
+# core, relational breadth, and the north-star extensions.
+HEADLINE = [
+    "q_flagship",          # scan→parse→map ops→broadcast enrich→last-value
+    "q_json_parse",        # from_json schema projection
+    "q_last_value",        # keyed latest-value agg (gauge-cache twin)
+    "q_lookup_enrich",     # broadcast dictionary join
+    "q_agg_basic",         # partial+final hash agg over lineitem
+    "q_join_inner",        # multi-table equi join
+    "q_window_rank",       # ranking window functions
+    "q_topk",              # global sort/limit
+    "q_rollup_cube",       # grouping sets
+    "q_dedup_exact",       # exact dedup over documents
+    "q_dedup_near",        # minhash-LSH near-dup
+    "q_similarity_topk",   # brute-force cosine top-k over embeddings
+    "q_text_tokens",       # tokenize+explode+count
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # sf parsed from the dir name (sf0.1 -> 0.1); fall back to 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    os.environ["SPARK_GRAFT_CPUS"] = cpus  # get_spark sizes local[N] from this
+    from confluent_example_firehose_spark.session import get_spark
+    from confluent_example_firehose_spark.registry import query_fns
+    from confluent_example_firehose_spark.flagship import flagship
+
+    spark = get_spark(app_name="bench")
+
+    fns = dict(query_fns())
+    fns["q_flagship"] = lambda s, d: flagship(s, d)
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch JIT/IO (bench convention).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = fns.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n  # rows materialized; count forces full execution
+    total = round(sum(timings.values()), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
