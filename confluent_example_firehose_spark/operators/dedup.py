@@ -61,38 +61,56 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands.
 
-    Plan shape: per-doc signature (narrow) -> explode bands (xB) ->
-    shuffle on (band_id, band_hash) -> in-bucket self-join -> distinct.
-    Skewed buckets (degenerate band hashes) are the known hazard at
-    scale: AQE skew-join splitting handles moderate skew; pathological
-    buckets should be capped (drop buckets over a size limit — they
-    mean near-identical boilerplate anyway).
+    Plan shape: per-doc shingles materialized ONCE (narrow) -> signature
+    -> explode bands (xB) -> ONE shuffle on (band_id, band_hash) with
+    collect_list -> in-bucket pair expansion as an array expression ->
+    distinct. No self-join: a self-join would inline the signature
+    pipeline into both inputs (2x compute + a giant codegen unit), and
+    at 100 TB would shuffle the banded table twice. The groupBy keeps
+    per-bucket state to an id list only.
+
+    Skew guard: buckets over `max_bucket` ids are dropped — a
+    degenerate band hash (boilerplate text) would otherwise expand
+    O(k^2) pairs; near-identical boilerplate is better handled by exact
+    dedup upstream. Dropped buckets are the documented trade.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias(
-            "_sig"
-        ),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    )
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("b")
     ).select("_id", "b.band_id", "b.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    # all i<j pairs from the sorted id list, purely expression-side
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n),
+                lambda other: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    other.alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -109,8 +109,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     cands = minhash_candidate_pairs(d, "doc_id", "text")
+    # Verify on HASHED shingles (longs): array_intersect on bigints, not
+    # strings — same Jaccard modulo 64-bit collisions, far cheaper at
+    # scale. Shingles materialized once, hashed in the same projection.
     sh = d.select(
-        F.col("doc_id").alias("_id"), word_shingles("text").alias("sh")
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(
+            F.transform(word_shingles("text"), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))

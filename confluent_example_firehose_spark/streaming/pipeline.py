@@ -57,23 +57,30 @@ def kafka_metric_stream(
     ).select("m.*")
 
 
-def file_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source streaming twin over the events parquet: identical
-    downstream plan to the Kafka source; used for exercising the
-    streaming layer in this container."""
-    import os
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Split the events table into n time-range files under out_dir so
+    the file source yields n micro-batches (maxFilesPerTrigger=1) in
+    roughly event-time order — the batch twin of n Kafka polls."""
+    from ..catalog import load_table
 
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(
+        out_dir
+    )
+
+
+def file_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source streaming twin over staged event files: identical
+    downstream plan to the Kafka source; used for exercising the
+    streaming layer in this container (no broker available)."""
+    batch = spark.read.parquet(events_dir)
+    return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
+        .parquet(events_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
 
 
 def latest_value_stream(events: DataFrame) -> DataFrame:

@@ -1,1 +1,208 @@
-"""Populated below."""
+"""Streaming declared queries (rows-only checks — SURVEY.md §5.2.3).
+
+Each runs a real Structured Streaming query to completion over a staged
+multi-file copy of `events` (n files -> n micro-batches, the twin of
+the reference's poll loop, AbstractFirehose.java:113-142) and returns a
+batch DataFrame of the outcome. No oracle SQL: DuckDB has no streaming
+semantics; the driver records the weaker rows-only check by design.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from .pipeline import (
+    file_event_stream,
+    latest_value_stream,
+    stage_event_files,
+    windowed_counts_stream,
+)
+from .sinks import to_prometheus_text
+from .state import ttl_latest_value
+
+_N_FILES = 4
+
+
+def _workdir() -> str:
+    return tempfile.mkdtemp(prefix="firehose_stream_")
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    events_dir = os.path.join(root, "events")
+    stage_event_files(spark, sf_dir, events_dir, _N_FILES)
+    return file_event_stream(spark, events_dir)
+
+
+def _run_to_memory(df: DataFrame, root: str, mode: str) -> DataFrame:
+    """Start -> drain all staged files (availableNow) -> stop; return
+    the memory sink's table (the scrapeable registry twin)."""
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+@register("q_microbatch_flush", oracle=None)
+def q_microbatch_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch boundary + flush hook (operator #9,
+    AbstractFirehose.java:107-108,115-131): foreachBatch IS endOfSet()
+    — one callback per poll batch, checkpoint commit after (≙
+    commitAsync). Emits one row per epoch: (epoch_id, n_rows)."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    epochs: list[tuple[int, int]] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epochs.append((epoch_id, batch_df.count()))
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = T.StructType(
+        [
+            T.StructField("epoch_id", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(e), int(n)) for e, n in sorted(epochs)], schema
+    )
+
+
+@register("q_sink_push", oracle=None)
+def q_sink_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push sink (operator #10, PrometheusPusher.java:47-67): per-epoch
+    the latest-value state delta is rendered to Prometheus text
+    exposition format and handed to the pusher. Emits (epoch_id,
+    n_series, payload_chars) per push."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    agg = latest_value_stream(stream)
+    pushes: list[tuple[int, int, int]] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        text = to_prometheus_text(batch_df)
+        n_series = max(0, len(text.splitlines()) - 2)  # minus HELP/TYPE
+        pushes.append((epoch_id, n_series, len(text)))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = T.StructType(
+        [
+            T.StructField("epoch_id", T.LongType()),
+            T.StructField("n_series", T.LongType()),
+            T.StructField("payload_chars", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(e), int(s), int(c)) for e, s, c in sorted(pushes)], schema
+    )
+
+
+@register("q_sink_pull", oracle=None)
+def q_sink_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull sink (operator #11, PrometheusPuller.java:50-65): the
+    latest-value state lands in an in-memory queryable table — the
+    scrape registry. Returns the final registry contents (one row per
+    live series)."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    agg = latest_value_stream(stream)
+    out = _run_to_memory(agg, root, "complete")
+    return out.orderBy("user_id", "event_type")
+
+
+@register("q_watermark", oracle=None)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation: produces the 60 s
+    windows the reference consumes pre-computed (FirehoseMetric.java:
+    26-46), with a 10-minute late-data bound; closed-window state is
+    dropped once the watermark passes (bounded state at 100 TB)."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    win = windowed_counts_stream(stream)
+    out = _run_to_memory(win, root, "update")
+    # Per-epoch updates may repeat a window; keep the final value.
+    return (
+        out.groupBy("w_start", "event_type")
+        .agg(F.max("n").alias("n"), F.max("sum_value").alias("sum_value"))
+        .orderBy("w_start", "event_type")
+    )
+
+
+@register("q_stateful_ttl", oracle=None)
+def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed state with idle-TTL eviction (operator #7, the Guava
+    gauge cache, AbstractPrometheusFirehose.java:20-30):
+    applyInPandasWithState + ProcessingTimeTimeout. A tiny TTL makes
+    series idle across micro-batches expire mid-stream, emitting
+    tombstones (the removal-listener twin). Returns the per-batch
+    state rows; `evicted=true` rows are the expirations."""
+    import time
+
+    root = _workdir()
+    # Fewer state partitions: each micro-batch pays one Python worker
+    # exchange per partition; 8 is plenty for the smoke's 750 series.
+    # (On a cluster this stays at the session default.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = _staged_events(spark, sf_dir, root)
+        state = ttl_latest_value(stream, ttl_ms=2000)
+        name = "t" + uuid.uuid4().hex[:12]
+        q = (
+            state.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        # availableNow + ProcessingTimeTimeout would keep scheduling
+        # timeout-drain batches; instead run continuous micro-batches
+        # and stop once evictions appear (or a hard deadline passes).
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n_evicted = (
+                spark.table(name).filter(F.col("evicted")).limit(1).count()
+            )
+            if n_evicted > 0 and not q.status["isDataAvailable"]:
+                break
+            time.sleep(2)
+        q.stop()
+        q.awaitTermination()
+        out = spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        out.groupBy("user_id", "event_type", "evicted")
+        .agg(
+            F.max("last_ts").alias("last_ts"),
+            F.sum("n_events").alias("n_events_total"),
+        )
+        .orderBy("user_id", "event_type", "evicted")
+    )
