@@ -20,9 +20,15 @@ def words(text: Column | str, lowercase: bool = True) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles via slice over a word index range."""
+    """Distinct word n-gram shingles via slice over a word index range.
+
+    Docs shorter than n words yield an EMPTY shingle set (guarded: a
+    bare sequence(1, size-(n-1)) would step backward for short docs —
+    sequence(1, 0) is [1, 0] — and make slice() throw)."""
     w = words(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
     )

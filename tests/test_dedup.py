@@ -1,0 +1,70 @@
+"""Unit tests for the dedup operators on hand-built frames (semantics
+checked against values computed by hand — the differential gate at
+sf0.01 is tools/check_oracle.py; these pin the kernels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from confluent_example_firehose_spark.operators.dedup import (
+    hamming64,
+    jaccard,
+    minhash_candidate_pairs,
+    simhash64,
+    word_shingles,
+    words,
+)
+
+
+def test_words_and_shingles(spark):
+    df = spark.createDataFrame([("A b  c d",)], ["text"])
+    out = df.select(
+        words("text").alias("w"), word_shingles("text", 3).alias("sh")
+    ).first()
+    assert out["w"] == ["a", "b", "c", "d"]
+    assert out["sh"] == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    assert df.select(word_shingles("text", 3).alias("sh")).first()["sh"] == []
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+    j = df.select(jaccard(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert abs(j - 2.0 / 4.0) < 1e-12
+
+
+def test_minhash_finds_duplicate_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"), (3, "completely different text here entirely unrelated words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_skew_bucket_cap(spark):
+    # 5 identical docs with max_bucket=3 -> the degenerate bucket drops
+    rows = [(i, "same same same same same text") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=3).collect()
+    assert out == []
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    fp = df.select(simhash64(word_shingles("text")).alias("fp"))
+    a, b = [r["fp"] for r in fp.collect()]
+    assert a == b
+    d = spark.range(1).select(
+        hamming64(F.lit(a), F.lit(b)).alias("d")
+    ).first()["d"]
+    assert d == 0
