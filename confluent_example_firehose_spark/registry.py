@@ -49,6 +49,8 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries,
         similarity_queries,
         text_queries,
+        tpch_queries,
+        window_session_queries,
     )
     from .streaming import streaming_queries  # noqa: F401
 

@@ -155,6 +155,27 @@ def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_dedup_stream", oracle=None)
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state:
+    dropDuplicatesWithinWatermark on (user_id, event_type) — keeps the
+    first arrival per key within the watermark horizon, then DROPS the
+    key's dedup state once the watermark passes (the only way streaming
+    dedup survives 100 TB: state is bounded by the lateness window, not
+    the key cardinality of all time)."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = _run_to_memory(deduped, root, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
 @register("q_stateful_ttl", oracle=None)
 def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed state with idle-TTL eviction (operator #7, the Guava
