@@ -4,12 +4,41 @@ All pure DataFrame ops (higher-order functions + xxhash64) — no Python
 in the hot path. The LSH pipeline is the 100 TB path: candidate
 generation is a shuffle on (band_id, band_hash) instead of an O(n^2)
 cross join; exact verification runs only on bucket-collided pairs.
+
+EXPRESSION-INLINING HAZARD (the perf rule this module is built around):
+referencing a Column EXPRESSION (not a materialized column) inside a
+higher-order-function lambda re-evaluates it per array element —
+`element_at(words(text), i)` inside transform() re-runs the split for
+every i, turning O(n) shingling into O(n^2) string work per document.
+Catalyst does not CSE across lambda boundaries, and CollapseProject
+deliberately refuses to merge projections that would duplicate
+expensive expressions. Therefore every multi-pass consumer here is a
+DataFrame-level pipeline with explicit projection steps (words ->
+hashes -> signature), never one giant Column. Measured on sf0.1
+documents: 9.0s -> 0.26s for the shingle pass alone.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_LONG_MAX = 9223372036854775807
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan yields
+    fewer splits than cores (tiny files -> one row group -> one task
+    serializes expensive per-row work). A no-op at real scale, where
+    the scan already has more splits than cores — the condition keeps
+    us from adding a shuffle there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def words(text: Column | str, lowercase: bool = True) -> Column:
@@ -20,11 +49,12 @@ def words(text: Column | str, lowercase: bool = True) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles via slice over a word index range.
-
-    Docs shorter than n words yield an EMPTY shingle set (guarded: a
-    bare sequence(1, size-(n-1)) would step backward for short docs —
-    sequence(1, 0) is [1, 0] — and make slice() throw)."""
+    """Distinct word n-gram shingle STRINGS. Test/debug surface only:
+    single-Column form, so the words expression is re-evaluated per
+    shingle (see module docstring) — use doc_shingle_hashes() in any
+    hot path. Docs shorter than n words yield an EMPTY shingle set
+    (guarded: sequence(1, 0) would step backward to [1, 0] and make
+    slice() throw)."""
     w = words(text)
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
@@ -34,14 +64,60 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes_col(w: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes from a MATERIALIZED words column:
+    xxhash64(w[i],...,w[i+n-1]) per position via O(1) element_at — no
+    shingle strings allocated, no re-split (w must be a column
+    reference, not an expression; see module docstring)."""
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)]),
+        )
+    )
+
+
+def doc_shingle_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    out: str = "sh",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """(id, shingle-hash array) per document, as a two-step projection
+    pipeline (words materialized first) so shingling stays O(n_words)."""
+    staged = df.select(F.col(id_col).alias("_id"), words(text_col).alias("_w"))
+    if not keep_empty:
+        # Equivalent to filtering size(out) > 0 (>= n words <=> some
+        # shingle), but pushdown-safe: a filter on the OUTPUT column
+        # would be substitution-pushed below the projection and
+        # re-evaluate the whole shingle expression per row.
+        staged = staged.filter(F.size("_w") >= n)
+    return staged.select("_id", shingle_hashes_col(F.col("_w"), n).alias(out))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """num_hashes independent min-hashes: h_i(s) = xxhash64(i, s).
-    array of longs; one column expression, fully codegen'd."""
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """num_hashes independent min-hashes: h_i(s) = xxhash64(i, s),
+    computed as ONE fold over the shingle array (aggregate + zip_with +
+    least) rather than num_hashes separate array_min passes — one pass
+    over the data and a codegen unit that stays small as num_hashes
+    grows. `shingles` must be a materialized column reference. Empty
+    shingle sets yield the LONG_MAX sentinel signature."""
+    init = F.array_repeat(F.lit(_LONG_MAX), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.xxhash64(i, s)),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -71,13 +147,13 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands.
 
-    Plan shape: per-doc shingles materialized ONCE (narrow) -> signature
-    -> explode bands (xB) -> ONE shuffle on (band_id, band_hash) with
-    collect_list -> in-bucket pair expansion as an array expression ->
-    distinct. No self-join: a self-join would inline the signature
-    pipeline into both inputs (2x compute + a giant codegen unit), and
-    at 100 TB would shuffle the banded table twice. The groupBy keeps
-    per-bucket state to an id list only.
+    Plan shape: per-doc shingle hashes (two narrow projections) ->
+    signature -> explode bands (xB) -> ONE shuffle on (band_id,
+    band_hash) with collect_list -> in-bucket pair expansion as an
+    array expression -> distinct. No self-join: a self-join would
+    inline the signature pipeline into both inputs (2x compute + a
+    giant codegen unit), and at 100 TB would shuffle the banded table
+    twice. The groupBy keeps per-bucket state to an id list only.
 
     Skew guard: buckets over `max_bucket` ids are dropped — a
     degenerate band hash (boilerplate text) would otherwise expand
@@ -85,22 +161,29 @@ def minhash_candidate_pairs(
     dedup upstream. Dropped buckets are the documented trade.
     """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
-    )
+    sh = doc_shingle_hashes(fan_out(df), id_col, text_col, shingle_n, "_sh")
     sig = sh.select(
         "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("b")
     ).select("_id", "b.band_id", "b.band_hash")
+    return bucket_pairs(banded, ["band_id", "band_hash"], max_bucket)
+
+
+def bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 64
+) -> DataFrame:
+    """(id_a < id_b) candidate pairs from a (id, bucket...) table: ONE
+    shuffle (groupBy bucket, collect ids) + expression-side pair
+    expansion + distinct. Shared by MinHash-LSH banding and SimHash
+    prefix blocking. Buckets over max_bucket ids are dropped (skew
+    guard — degenerate buckets are boilerplate, O(k^2) pair blowup)."""
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    # all i<j pairs from the sorted id list, purely expression-side
     n = F.size("ids")
     pairs = F.flatten(
         F.transform(
@@ -121,6 +204,37 @@ def minhash_candidate_pairs(
     )
 
 
+def simhash_candidate_pairs(
+    fp: DataFrame,
+    n_blocks: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Pigeonhole blocking over a (_id, fp) fingerprint table: split the
+    64-bit fingerprint into n_blocks equal bit-blocks. A pair with
+    Hamming distance d <= n_blocks - 1 cannot touch every block, so it
+    shares at least one EXACT block and an equality bucket join on
+    (block_id, block_value) finds it without the O(n^2) cross join —
+    full recall for d < n_blocks, probabilistic above (the standard
+    64-bit/4-block d<=3 scheme). Verify with hamming64 afterwards."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftrightunsigned("fp", b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_value"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = fp.select("_id", F.explode(blocks).alias("b")).select(
+        "_id", "b.block_id", "b.block_value"
+    )
+    return bucket_pairs(banded, ["block_id", "block_value"], max_bucket)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays. Integer set sizes;
     the single double division is bit-identical across engines."""
@@ -129,32 +243,40 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def simhash64(shingles: Column) -> Column:
-    """64-bit SimHash: sign-sum of per-shingle hash bits.
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document: majority vote per bit position over
+    the shingle-hash set (bit b of fp = 1 iff more shingle hashes have
+    bit b set than not; ties -> 0).
 
-    For each bit position: count shingles whose xxhash64 has that bit
-    set vs total; bit in fingerprint = majority. Expressed as a fold
-    over the shingle array accumulating 64 counters would be heavy in
-    codegen; instead we use the weight trick: sum(+-1 per bit) via
-    aggregate over an array of 64-bit masks. Kept to 64 bits in one
-    BIGINT so Hamming distance is two codegen ops (xor + bit_count).
-    """
-    h = F.transform(shingles, lambda s: F.xxhash64(s))
-    bits = []
-    for i in range(64):
-        cnt = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(F.lit(1 << i if i < 63 else -(2**63))) != 0, 1).otherwise(
-                -1
-            ),
-        )
-        bits.append(F.when(cnt > 0, F.lit(1 << i if i < 63 else -(2**63))).otherwise(0))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
-    return out
+    Shingle hashing stays JVM-side; the 64-way bit vote runs as an
+    Arrow-batched pandas UDF. Deliberate exception to the
+    built-ins-first rule: Spark's higher-order functions are
+    CodegenFallback (interpreted, boxed per element), so a 64-bit vote
+    fold over every shingle costs ~64 boxed ops per element — measured
+    ~4s per pass over sf0.1 documents vs ~0.1s for the numpy bit-matrix
+    version. The UDF is a narrow map (no shuffle), so the plan shape is
+    unchanged at scale."""
+    @pandas_udf("long")
+    def _simhash(sh: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(sh), dtype=np.int64)
+        for i, arr in enumerate(sh):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(
+                axis=0, dtype=np.int64
+            ) * 2 - len(h)
+            fp = ((votes > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    sh = doc_shingle_hashes(df, id_col, text_col, n, "_sh")
+    return sh.select("_id", _simhash(F.col("_sh")).alias("fp"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -8,11 +8,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
+    doc_shingle_hashes,
+    fan_out,
     hamming64,
     jaccard,
     minhash_candidate_pairs,
-    simhash64,
-    word_shingles,
+    simhash_candidate_pairs,
+    simhash_fingerprints,
     words,
 )
 
@@ -107,17 +109,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path: candidate generation shuffles on (band_id,
     band_hash) — O(n) not O(n^2). Verified pairs carry their exact
     shingle Jaccard."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     cands = minhash_candidate_pairs(d, "doc_id", "text")
     # Verify on HASHED shingles (longs): array_intersect on bigints, not
     # strings — same Jaccard modulo 64-bit collisions, far cheaper at
-    # scale. Shingles materialized once, hashed in the same projection.
-    sh = d.select(
-        F.col("doc_id").alias("_id"),
-        F.array_distinct(
-            F.transform(word_shingles("text"), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    )
+    # scale. Two-step projection pipeline (see dedup.py module doc).
+    sh = doc_shingle_hashes(d, "doc_id", "text", out="sh")
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
     return (
@@ -133,23 +130,28 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_simhash", oracle=None)  # rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints; pairs within Hamming
-    distance 16. Candidate generation here is a broadcast self-join on
-    the fingerprint table (small); at scale, block on fingerprint
-    prefixes (pigeonhole: d<=16 over 4 blocks -> one block equal)."""
-    d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        F.col("doc_id").alias("_id"),
-        simhash64(word_shingles("text")).alias("fp"),
-    )
+    """SimHash near-dup: 64-bit fingerprints -> pigeonhole blocking
+    (4 x 16-bit blocks; full recall for Hamming d <= 3) -> hamming64
+    verify. No cross join anywhere: candidate generation is one
+    bucket-shuffle, verification joins fingerprints back by id — the
+    same candidate/verify split as the MinHash pipeline, so the shape
+    survives 100 TB."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # fp feeds three plan branches (blocking + both verify joins);
+    # persist so the scan->shingle->UDF subtree runs once, not 3x.
+    # (At cluster scale: MEMORY_AND_DISK, one fingerprint per doc —
+    # 16 bytes/row of state, far smaller than the input.)
+    fp = simhash_fingerprints(d, "doc_id", "text").persist()
+    cands = simhash_candidate_pairs(fp)
     a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
     b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 16)
+        .filter(F.col("hamming") <= 3)
     )

@@ -7,10 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from confluent_example_firehose_spark.operators.dedup import (
+    doc_shingle_hashes,
     hamming64,
     jaccard,
     minhash_candidate_pairs,
-    simhash64,
+    simhash_fingerprints,
     word_shingles,
     words,
 )
@@ -61,10 +62,25 @@ def test_simhash_identical_docs_zero_hamming(spark):
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
         ["doc_id", "text"],
     )
-    fp = df.select(simhash64(word_shingles("text")).alias("fp"))
-    a, b = [r["fp"] for r in fp.collect()]
+    a, b = [r["fp"] for r in simhash_fingerprints(df, "doc_id", "text").collect()]
     assert a == b
     d = spark.range(1).select(
         hamming64(F.lit(a), F.lit(b)).alias("d")
     ).first()["d"]
     assert d == 0
+
+
+def test_shingle_hashes_match_string_shingles(spark):
+    # hash-pipeline shingle COUNT equals the string-shingle count
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r")], ["doc_id", "text"]
+    )
+    hashed = {
+        r["_id"]: len(r["sh"])
+        for r in doc_shingle_hashes(df, "doc_id", "text", keep_empty=True).collect()
+    }
+    strings = {
+        r["doc_id"]: len(r["sh"])
+        for r in df.select("doc_id", word_shingles("text").alias("sh")).collect()
+    }
+    assert hashed == strings == {1: 3, 2: 0, 3: 1}
