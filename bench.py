@@ -32,8 +32,12 @@ HEADLINE = [
     "q_window_rank",       # ranking window functions
     "q_topk",              # global sort/limit
     "q_rollup_cube",       # grouping sets
+    "q_tpch_q3",           # 3-way join + top-k
+    "q_tpch_q5",           # 6-way join
+    "q_window_session",    # session windows (gaps-and-islands twin)
     "q_dedup_exact",       # exact dedup over documents
     "q_dedup_near",        # minhash-LSH near-dup
+    "q_dedup_simhash",     # simhash blocking near-dup
     "q_similarity_topk",   # brute-force cosine top-k over embeddings
     "q_text_tokens",       # tokenize+explode+count
 ]

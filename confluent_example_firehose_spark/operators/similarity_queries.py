@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import cosine, dot, to_double_array
+from ..functions.vector import cosine, dot, norm2, to_double_array
 from ..registry import register
 
 N_QUERY_VECS = 5
@@ -49,18 +49,28 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the exact same plan holds with a bounded query set; for
     large query sets switch to q_similarity_lsh's bucketed variant."""
+    # Norms precomputed per side (materialized columns) so the
+    # interpreted fold (HOFs are CodegenFallback) runs once per vector,
+    # not once per pair; cos = dot/(nq*nv) keeps the exact association
+    # order of cosine() -> still bit-identical to the oracle.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos"),
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -93,11 +103,26 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
         .orderBy(F.col("cos").desc(), "id_a", "id_b")
         .limit(20)
     )
