@@ -43,6 +43,47 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs —
+# the GPT-2-style split minus lookaheads, so the pattern means the same
+# thing under Java regex (Spark) and RE2 (DuckDB).
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+@register(
+    "q_text_tokens_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]+$')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+                AS BIGINT) AS n_num,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_vocab
+    FROM (
+        SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}') AS toks
+        FROM documents
+    )
+    """,
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-style pre-tokenizer) token counting per document —
+    the training-data token budget estimator. Tokens materialized once
+    (withColumn), then counted by class; narrow plan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "toks", F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    )
+    alpha = F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[a-zA-Z]+$")))
+    num = F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$")))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        alpha.cast("long").alias("n_alpha"),
+        num.cast("long").alias("n_num"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_vocab"),
+    )
+
+
 @register(
     "q_text_quality",
     oracle=f"""

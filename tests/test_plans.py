@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale properties that make these
+queries viable at 100 TB, pinned so a refactor can't silently lose
+them (a wrong-but-correct plan passes value tests; these catch it)."""
+
+from __future__ import annotations
+
+import pytest
+
+from confluent_example_firehose_spark.registry import query_fns
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return query_fns()
+
+
+def test_lookup_enrich_broadcasts_dims(spark, sf_dir, fns):
+    plan = plan_of(fns["q_lookup_enrich"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_scan_parquet_prunes_columns(spark, sf_dir, fns):
+    plan = plan_of(fns["q_scan_parquet"](spark, sf_dir))
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_quantity" in read
+    # untouched wide columns must not be read
+    assert "l_returnflag" not in read and "l_shipdate" not in read
+
+
+def test_filter_project_pushes_predicates(spark, sf_dir, fns):
+    plan = plan_of(fns["q_filter_project"](spark, sf_dir))
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, fns):
+    plan = plan_of(fns["q_topk"](spark, sf_dir))
+    # global sort+limit must plan as TakeOrdered (no full sort/shuffle)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_basic_partial_final(spark, sf_dir, fns):
+    plan = plan_of(fns["q_agg_basic"](spark, sf_dir))
+    # map-side combine: two HashAggregate levels around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_dedup_near_no_cross_join(spark, sf_dir, fns):
+    plan = plan_of(fns["q_dedup_near"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_simhash_no_cross_join(spark, sf_dir, fns):
+    plan = plan_of(fns["q_dedup_simhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_nation_region(spark, sf_dir, fns):
+    plan = plan_of(fns["q_tpch_q5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
