@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_queries,
         window_session_queries,
     )
+    from .sources import file_sources  # noqa: F401
     from .streaming import streaming_queries  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,107 @@
+"""File-format source/sink coverage (SURVEY.md §2.B: parquet/csv/json
+scans & sinks — absent from the reference, which is Kafka-only).
+
+Each query is a write->read ROUND TRIP through a temp dir, then an
+aggregate the DuckDB oracle computes from the ORIGINAL table — so the
+check proves end-to-end fidelity of the sink+source pair, not just
+that a file appeared.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+@register(
+    "q_sink_parquet_partitioned",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-scan: write
+    events partitioned by event_type (the layout a 100 TB events table
+    would use — hive-style directories, one writer task per partition
+    per task), read back with an IN filter that prunes to 2 of the
+    directories (PartitionFilters in the scan, non-matching dirs never
+    listed)."""
+    out = os.path.join(_tmp("firehose_pq_"), "events_parted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+           max(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + header/schema-inferred re-scan round trip. Numeric
+    and string columns survive textual serialization exactly;
+    timestamps are excluded deliberately (CSV has no type — a real
+    pipeline pins an explicit schema + timestampFormat)."""
+    out = os.path.join(_tmp("firehose_csv_"), "events_csv")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .schema("event_id long, user_id long, event_type string, value double")
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
+    "q_scan_json",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(event_id) AS sum_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-pinned re-scan round trip (the same
+    from_json machinery as the firehose ingest path, file-backed)."""
+    out = os.path.join(_tmp("firehose_json_"), "events_json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
