@@ -125,6 +125,72 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure scan-filter-aggregate. All
+    three predicates reach the parquet scan as PushedFilters; the agg
+    is a single global partial+final pair (one row per map task moves
+    over the wire)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' "
+                             "THEN l_extendedprice * (1 - l_discount) "
+                             "ELSE 0 END")}
+           / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: date-pruned lineitem ⋈ part with a conditional
+    aggregate. part broadcasts (dimension); the one-month shipdate
+    filter cuts the fact scan ~97% before the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue")
+        )
+    )
+
+
+@register(
     "q_tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name,
