@@ -1,0 +1,130 @@
+"""CLI entry points: the PrometheusPusher / PrometheusPuller twins.
+
+Reference surface (PrometheusPusher.java:38-45, PrometheusPuller.java:
+36-41): options -c <inline map>, -f <config file>, -g <gateway url>,
+-j <job name> (pusher), plus prometheus.listener (puller); a JVM
+shutdown hook calls close(). Spark twin: the same options assemble a
+LayeredConfig, then a Structured Streaming query runs the firehose
+pipeline with the chosen sink; Ctrl-C stops the query (checkpoint makes
+restart exactly-once, the commitAsync twin).
+
+Usage:
+    python -m confluent_example_firehose_spark pusher \
+        -c consumer.topic=metrics.v1 -g http://gateway:9091 -j firehose
+    python -m confluent_example_firehose_spark puller \
+        -f conf.json --listener 0.0.0.0:9400
+    # no broker? file mode streams staged events parquet instead:
+    python -m confluent_example_firehose_spark pusher \
+        --file-source /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from . import config as cfg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="confluent_example_firehose_spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+    for mode in ("pusher", "puller"):
+        sp = sub.add_parser(mode)
+        sp.add_argument("-c", "--configs", help="inline key=value[,k=v...]")
+        sp.add_argument("-f", "--file", dest="config_file", help="config file")
+        sp.add_argument(
+            "--file-source",
+            help="stream staged events parquet from this sf dir "
+            "(no-broker demo mode)",
+        )
+        sp.add_argument("--bootstrap", help="Kafka bootstrap servers")
+        if mode == "pusher":
+            sp.add_argument("-g", "--gateway", help="PushGateway address")
+            sp.add_argument("-j", "--job", help="push job name")
+        else:
+            sp.add_argument("--listener", help="host:port scrape endpoint")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    extra = {}
+    if getattr(args, "gateway", None):
+        extra[cfg.CONFIG_PROM_GATEWAY] = args.gateway
+    if getattr(args, "job", None):
+        extra[cfg.CONFIG_PROM_GATEWAY_JOB] = args.job
+        # -j defaults the consumer group id (PrometheusPusher.java:119)
+        extra.setdefault(cfg.CONFIG_CONSUMER_GROUP_ID, args.job)
+    if getattr(args, "listener", None):
+        extra[cfg.CONFIG_PROM_LISTENER] = args.listener
+    conf = cfg.assemble(
+        inline=args.configs,
+        config_file=args.config_file,
+        extra_defaults=extra,
+    )
+
+    from .session import get_spark
+    from .streaming.pipeline import (
+        file_event_stream,
+        kafka_metric_stream,
+        latest_value_stream,
+        stage_event_files,
+    )
+    from .streaming.sinks import pull_sink, push_sink, to_prometheus_text
+
+    spark = get_spark(f"firehose-{args.mode}")
+    if args.file_source:
+        root = tempfile.mkdtemp(prefix="firehose_cli_")
+        stage_event_files(spark, args.file_source, root)
+        stream = file_event_stream(spark, root)
+    else:
+        bootstrap = args.bootstrap or conf.get("consumer.bootstrap.servers")
+        if not bootstrap:
+            print(
+                "no --bootstrap/consumer.bootstrap.servers and no "
+                "--file-source; nothing to consume",
+                file=sys.stderr,
+            )
+            return 1
+        stream = kafka_metric_stream(
+            spark,
+            bootstrap,
+            subscribe=str(conf.get(cfg.CONFIG_CONSUMER_TOPIC)),
+            **{
+                f"kafka.{k}": str(v)
+                for k, v in conf.subset("consumer").items()
+                if k not in ("topic", "bootstrap.servers")
+            },
+        )
+        # Kafka records carry (user_id, event_type, value, ts) after
+        # METRIC_SCHEMA parse in kafka_metric_stream; the state table
+        # below groups whatever key columns exist.
+
+    agg = latest_value_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="firehose_ckpt_")
+    if args.mode == "pusher":
+
+        def push_fn(text: str, epoch_id: int) -> None:
+            # stdout stands in for the PushGateway HTTP POST
+            # (PrometheusPusher.java:61-67); swap in requests.post(...)
+            print(f"--- push epoch {epoch_id} ---\n{text}", flush=True)
+
+        q = push_sink(agg, push_fn, ckpt)
+    else:
+        q = pull_sink(agg)
+        print(
+            "registry queryable as spark.table('metrics_state'); "
+            f"listener={conf.get(cfg.CONFIG_PROM_LISTENER, '0.0.0.0:9400')}",
+            flush=True,
+        )
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:  # the shutdown-hook twin
+        q.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
