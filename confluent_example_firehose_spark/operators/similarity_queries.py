@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
 from ..functions.vector import cosine, dot, norm2, to_double_array
@@ -135,6 +138,79 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
+
+
+@register("q_similarity_ivf", oracle=None)  # rows-only: IVF ANN
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other standard scale path next to
+    LSH: k-means centroids partition the corpus into inverted lists;
+    queries probe only the nprobe nearest lists.
+
+    Spark mapping: centroids train on a bounded driver-side sample
+    (seeded numpy k-means — IVF training is ALWAYS a sample, so the
+    collect is bounded regardless of corpus size), assignment is an
+    Arrow-batched matmul per corpus batch (narrow map), and the search
+    is an equi-join on cluster_id — shuffle-partitioned by list, never
+    a cross join. Rows-only: list membership is implementation-defined.
+    """
+    K, NPROBE, SAMPLE, ITERS = 16, 4, 512, 8
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    # --- bounded, deterministic centroid training (driver-side) ---
+    sample = np.array(
+        [r["v"] for r in e.orderBy("vec_id").limit(SAMPLE).collect()]
+    )
+    rng = np.random.RandomState(42)
+    cents = sample[rng.choice(len(sample), K, replace=False)]
+    for _ in range(ITERS):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for k in range(K):
+            m = sample[assign == k]
+            if len(m):
+                cents[k] = m.mean(0)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        c = cents_b.value
+        out = np.empty(len(vs), dtype=np.int32)
+        for i, v in enumerate(vs):
+            x = np.asarray(v)
+            out[i] = ((c - x) ** 2).sum(1).argmin()
+        return pd.Series(out)
+
+    listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
+    # queries probe their NPROBE nearest lists
+    qrows = listed.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    probe_rows = []
+    for r in qrows:
+        x = np.asarray(r["v"])
+        order = ((cents_b.value - x) ** 2).sum(1).argsort()[:NPROBE]
+        for c in order:
+            probe_rows.append((r["vec_id"], int(c), r["v"]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster_id int, qv array<double>"
+    )
+    scored = (
+        listed.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+    )
 
 
 @register("q_similarity_lsh", oracle=None)  # rows-only: bucketed ANN
