@@ -46,3 +46,40 @@ def dsum_sql(expr: str) -> str:
 
 def davg_sql(expr: str) -> str:
     return f"{dsum_sql(expr)} / count({expr})"
+
+
+def salted_join(
+    big,
+    small,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+):
+    """Skew-beating equi-join: salt the big side's key into
+    `salt_buckets` sub-keys (deterministic pmod of xxhash64 over the
+    whole row's key + a uniform spreader) and replicate the small side
+    once per bucket, so one hot key's rows spread over `salt_buckets`
+    reducers instead of one straggler task.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological case (one key = 30% of 100 TB)
+    where even a split partition exceeds an executor. Replication cost:
+    |small| * salt_buckets rows — only ever use with a dimension-sized
+    right side.
+    """
+    from pyspark.sql import functions as F
+
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

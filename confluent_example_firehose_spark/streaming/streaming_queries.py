@@ -227,3 +227,49 @@ def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "evicted")
     )
+
+
+@register("q_stream_join", oracle=None)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides — the
+    streaming twin of the enrichment join when the dimension is itself
+    a stream. Clicks join purchases by the same user within 1 hour
+    after the click; the time-interval condition plus the two
+    watermarks is what lets Spark DROP buffered rows once they can no
+    longer match (bounded join state — the only way a stream-stream
+    join survives unbounded input)."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_to_memory(joined, root, "append")
+    return (
+        out.groupBy("c_user")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("p_value"), 6).alias("attributed_value"),
+        )
+        .orderBy("c_user")
+    )

@@ -87,3 +87,27 @@ def test_last_value_table_matches_pandas(spark, evs):
         top = grp.sort_values(["ts", "eid"]).iloc[-1]
         assert got[k][0] == top["value"]
         assert got[k][1] == len(grp)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from confluent_example_firehose_spark.operators.relational import (
+        salted_join,
+    )
+
+    # skewed big side: key 1 dominates
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, i) for i in range(5)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string"
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small, "k", salt_buckets=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want
