@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         text_queries,
         tpch_queries,
+        udf_queries,
         window_session_queries,
     )
     from .sources import file_sources  # noqa: F401

@@ -46,3 +46,56 @@ def test_prometheus_text_format(spark):
     # sorted by key, label-formatted
     assert lines[2] == 'firehose_last_value{user_id="0",event_type="view"} 1.0'
     assert lines[3] == 'firehose_last_value{user_id="1",event_type="click"} 2.5'
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting from the same checkpoint must process each input file
+    exactly once (offset-commit parity: AbstractFirehose.java:131 ->
+    checkpoint WAL). Two files first, stop, add two more, restart: the
+    second run must only count the new files' rows."""
+    import glob
+    import shutil
+
+    from confluent_example_firehose_spark.streaming.pipeline import (
+        stage_event_files,
+    )
+
+    staged = tmp_path / "staged"
+    indir = tmp_path / "input"
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    stage_event_files(spark, sf_dir, str(staged), n_files=4)
+    parts = sorted(glob.glob(str(staged / "part-*")))
+    assert len(parts) == 4
+
+    batch_schema = spark.read.parquet(str(staged)).schema
+    total_rows = spark.read.parquet(str(staged)).count()
+
+    def run_until_drained(counts: list[int]) -> None:
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(indir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch: counts.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for p in parts[:2]:
+        shutil.copy(p, indir)
+    first: list[int] = []
+    run_until_drained(first)
+
+    for p in parts[2:]:
+        shutil.copy(p, indir)
+    second: list[int] = []
+    run_until_drained(second)
+
+    assert len(first) == 2 and len(second) == 2  # no re-processing
+    assert sum(first) + sum(second) == total_rows
