@@ -180,3 +180,45 @@ def q_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_value"),
         F.col("last_ts"),
     )
+
+
+@register(
+    "q_series_cap",
+    oracle="""
+    SELECT user_id, event_type, last_value, last_ts
+    FROM (
+        SELECT user_id, event_type, last_value, last_ts,
+               row_number() OVER (
+                   ORDER BY last_ts DESC, user_id, event_type
+               ) AS recency_rank
+        FROM (
+            SELECT user_id, event_type, value AS last_value, ts AS last_ts
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC
+            ) = 1
+        )
+    )
+    WHERE recency_rank <= 500
+    """,
+)
+def q_series_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-size series eviction — the registry cap twin (operator #7's
+    second half: Guava maximumSize(10000) LRU,
+    AbstractPrometheusFirehose.java:22). The streaming per-key state
+    handler cannot see other keys, so the cap is expressed where it
+    belongs in Spark: a bounded top-K over the state table by recency
+    (keep the 500 most-recently-updated series; older series are the
+    evictees). Planned as TakeOrdered — no full sort at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    state = last_value_table(
+        ev, ["user_id", "event_type"], "value", ["ts", "event_id"]
+    )
+    return (
+        state.select("user_id", "event_type", "last_value", "last_ts")
+        .orderBy(
+            F.col("last_ts").desc(), F.col("user_id"), F.col("event_type")
+        )
+        .limit(500)
+    )

@@ -131,15 +131,40 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", oracle=None)  # approx: rows-only by design
+@register(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag, TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct: constant memory per group vs the
-    expand shuffle of exact distinct — the 100 TB default."""
+    expand shuffle of exact distinct — the 100 TB default.
+
+    Oracle-checked via a tolerance ASSERTION: the query emits whether
+    the HLL++ estimate (rsd=0.02) lands within 5% of the exact count
+    it computes alongside; the oracle claims TRUE per group. A sketch's
+    exact value is engine-defined, but its error bound is a testable
+    contract."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("xp"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("xo"),
         F.count("*").alias("n_rows"),
+    )
+    within = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) <= 0.05 * F.col(x)
+    )
+    return agg.select(
+        "l_returnflag",
+        within("ap", "xp").alias("parts_within_5pct"),
+        within("ao", "xo").alias("orders_within_5pct"),
+        "n_rows",
     )
 
 
