@@ -144,6 +144,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands.
 
@@ -161,7 +162,12 @@ def minhash_candidate_pairs(
     dedup upstream. Dropped buckets are the documented trade.
     """
     rows = num_hashes // bands
-    sh = doc_shingle_hashes(fan_out(df), id_col, text_col, shingle_n, "_sh")
+    sh = (
+        shingles.select(F.col(shingles.columns[0]).alias("_id"),
+                        F.col(shingles.columns[1]).alias("_sh"))
+        if shingles is not None
+        else doc_shingle_hashes(fan_out(df), id_col, text_col, shingle_n, "_sh")
+    )
     sig = sh.select(
         "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )

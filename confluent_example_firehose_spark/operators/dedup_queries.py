@@ -110,11 +110,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_hash) — O(n) not O(n^2). Verified pairs carry their exact
     shingle Jaccard."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    cands = minhash_candidate_pairs(d, "doc_id", "text")
-    # Verify on HASHED shingles (longs): array_intersect on bigints, not
-    # strings — same Jaccard modulo 64-bit collisions, far cheaper at
-    # scale. Two-step projection pipeline (see dedup.py module doc).
-    sh = doc_shingle_hashes(d, "doc_id", "text", out="sh")
+    # Shingle-hash table computed ONCE and persisted: it feeds the LSH
+    # candidate pipeline AND both sides of the Jaccard verify join
+    # (three plan branches). Verify intersects HASHED shingles (longs)
+    # — same Jaccard modulo 64-bit collisions, far cheaper at scale.
+    sh = doc_shingle_hashes(d, "doc_id", "text", out="sh").persist()
+    cands = minhash_candidate_pairs(d, "doc_id", "text", shingles=sh)
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
     return (
