@@ -103,3 +103,84 @@ def extract_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
 
     return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Arrow-batched resize stage. The pixel kernel is a deterministic
+    fake (truncate/pad the payload to width*height bytes — stands in
+    for PIL's resample, which needs libjpeg); batch shape, schema and
+    the narrow-map plan are exactly the real pipeline's. At scale this
+    stage dominates CPU, so it must stay a shuffle-free mapInPandas
+    over many small partitions (binary rows are fat)."""
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:target]
+                b = b + b"\x00" * (target - len(b))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": b,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling: 1 input row -> n output rows (uniform temporal
+    stride over the payload, standing in for ffmpeg keyframe
+    extraction). A generator-shaped mapInPandas — the row explosion
+    happens inside the Arrow batch, never via a shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                stride = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    start = min(i * stride, max(0, len(b) - 1))
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame": b[start : start + frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)

@@ -60,3 +60,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(d, "doc_id", "text")
     feats = extract_features(media)
     return feats.select("doc_id", "n_bytes")
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id, 64 AS width, 64 AS height, 4096 AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage plumbing: every payload normalized to 64x64; the
+    oracle checks the contract (fixed output geometry per doc)."""
+    from .multimodal import attach_fake_media, resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    resized = resize_images(media)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(gs.g AS INTEGER) AS frame_idx
+    FROM documents, generate_series(0, 3) gs(g)
+    WHERE length(text) > 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 4 frames per non-empty payload (the
+    1->n generator shape); oracle checks the fan-out contract."""
+    from .multimodal import attach_fake_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    frames = sample_frames(media)
+    return frames.select("doc_id", "frame_idx")

@@ -105,3 +105,54 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("event_id").alias("sum_id"),
     )
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(8,
+    orderkey) into a warehouse, then joined WITHOUT any shuffle — the
+    scan emits bucket-aligned partitions, so the sort-merge join runs
+    exchange-free. At 100 TB this is THE fact-fact join strategy:
+    shuffle each table once at write time, never again at read time.
+    (Plan check: tests assert no Exchange between scans and join.)"""
+    import uuid
+
+    from .. import catalog
+
+    wh = _tmp("firehose_wh_")
+    suffix = uuid.uuid4().hex[:8]
+    o_tbl, l_tbl = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").format("parquet")
+        .option("path", os.path.join(wh, o_tbl)).saveAsTable(o_tbl))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").format("parquet")
+        .option("path", os.path.join(wh, l_tbl)).saveAsTable(l_tbl))
+    ob, lb = spark.table(o_tbl), spark.table(l_tbl)
+    from pyspark.sql import functions as FF
+
+    # MERGE hint: at testdata scale AQE would broadcast the small side,
+    # hiding the property under test; at 100 TB neither side broadcasts
+    # and the bucketed sort-merge join (zero exchanges, zero sorts) is
+    # exactly the plan this query exists to demonstrate.
+    return (
+        ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            FF.count("*").alias("n_lines"),
+            FF.sum(FF.col("l_quantity").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

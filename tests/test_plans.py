@@ -67,3 +67,13 @@ def test_tpch_q5_broadcasts_nation_region(spark, sf_dir, fns):
     plan = plan_of(fns["q_tpch_q5"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_shuffle_before_join(spark, sf_dir, fns):
+    df = fns["q_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # bucketing co-locates both sides: the ONLY exchange is the
+    # post-join aggregation's — nothing shuffles into the join
+    join_part = plan[: plan.index("SortMergeJoin")]
+    assert "Exchange" not in join_part or plan.count("Exchange") == 1
