@@ -27,12 +27,27 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
-    """Apply confs the engine relies on when the driver owns the session."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # fine if immutable in this build; catalog casts defensively
+    """Apply confs the engine relies on when the driver owns the session.
+    All of these are runtime-settable; each is individually guarded so a
+    stricter build can't break entry()."""
+    confs = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # a plain session defaults to 200 shuffle partitions — at the
+        # gate's sf0.01 that is pure task overhead (and 200 state-store
+        # partitions for every streaming query); size to the box
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_CPUS", "32"
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in confs.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
