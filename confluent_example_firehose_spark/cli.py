@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         file_event_stream,
         kafka_metric_stream,
         latest_value_stream,
+        metric_latest_value_stream,
         stage_event_files,
     )
     from .streaming.sinks import pull_sink, push_sink, to_prometheus_text
@@ -98,11 +99,14 @@ def main(argv: list[str] | None = None) -> int:
                 if k not in ("topic", "bootstrap.servers")
             },
         )
-        # Kafka records carry (user_id, event_type, value, ts) after
-        # METRIC_SCHEMA parse in kafka_metric_stream; the state table
-        # below groups whatever key columns exist.
 
-    agg = latest_value_stream(stream)
+    # Kafka carries METRIC_SCHEMA rows -> gauge-registry keying (name +
+    # sorted filtered labels); the file twin carries event rows.
+    agg = (
+        latest_value_stream(stream)
+        if args.file_source
+        else metric_latest_value_stream(stream)
+    )
     ckpt = tempfile.mkdtemp(prefix="firehose_ckpt_")
     if args.mode == "pusher":
 

@@ -108,3 +108,53 @@ def windowed_counts_stream(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
     )
+
+
+def metric_latest_value_stream(metrics: DataFrame) -> DataFrame:
+    """Latest-value state table for METRIC_SCHEMA rows — the exact
+    gauge-registry key: (metric name, key-sorted filtered label vector)
+    (AbstractPrometheusFirehose.java:42,48). Works identically on a
+    batch or streaming metrics DataFrame (same Catalyst plan)."""
+    from ..operators.firehose import series_key
+
+    keyed = metrics.select(
+        F.col("name"),
+        series_key("name", "tags").alias("series"),
+        F.col("component"),
+        F.timestamp_seconds(F.col("timestamp")).alias("ts"),
+        F.col("value"),
+        F.col("id"),
+    )
+    return keyed.groupBy("name", "series").agg(
+        F.max_by("value", F.struct("ts", "id")).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.first("component").alias("component"),  # gauge namespace,
+        # AbstractPrometheusFirehose.java:53-63
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def metric_windows(metrics: DataFrame, interval_s: int = 60) -> DataFrame:
+    """PRODUCE the 60 s tumbling window struct the reference only
+    consumes pre-computed (FirehoseMetric.java:26-46, SURVEY.md §1.2):
+    aggregate raw metric points into (from, to, interval) rows shaped
+    exactly like the upstream producer's."""
+    ts = F.timestamp_seconds(F.col("timestamp"))
+    win = F.window(ts, f"{interval_s} seconds")
+    return (
+        metrics.groupBy(F.col("name"), win.alias("w"))
+        .agg(
+            F.sum("value").alias("value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            "name",
+            F.struct(
+                F.unix_timestamp("w.start").alias("from"),
+                F.unix_timestamp("w.end").alias("to"),
+                F.lit(interval_s).alias("interval"),
+            ).alias("window"),
+            "value",
+            "n_points",
+        )
+    )

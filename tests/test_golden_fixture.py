@@ -85,3 +85,35 @@ def test_last_value_semantics(spark):
         for r in last_value_table(df, ["name"], "value", ["seq"]).collect()
     }
     assert out == {"a": 15.0, "b": 5.0}
+
+
+def test_metric_latest_value_golden(spark):
+    """The gauge-registry twin on METRIC_SCHEMA rows: two points of the
+    golden series collapse to the later value under the exact series
+    key (name + sorted filtered labels, 'unit' excluded)."""
+    from confluent_example_firehose_spark.streaming.pipeline import (
+        metric_latest_value_stream,
+        metric_windows,
+    )
+
+    second = GOLDEN_JSON.replace('"timestamp":1572402480', '"timestamp":1572402540').replace(
+        '"value":47', '"value":99'
+    ).replace("2e2a44dc", "ffffffff")
+    df = spark.createDataFrame([(GOLDEN_JSON,), (second,)], "value string")
+    metrics = parse_metrics(df)
+    state = metric_latest_value_stream(metrics).collect()
+    assert len(state) == 1
+    row = state[0]
+    assert row["last_value"] == 99.0
+    assert row["n_events"] == 2
+    assert row["component"] == "kafka"
+    assert "unit=" not in row["series"]  # FilteredTags exclusion
+    assert row["series"].startswith("request_bytes_total|")
+
+    wins = metric_windows(metrics).collect()
+    # 1572402480 and 1572402540 fall in different 60s windows
+    assert {(w["window"]["from"], w["window"]["to"]) for w in wins} == {
+        (1572402480, 1572402540),
+        (1572402540, 1572402600),
+    }
+    assert all(w["window"]["interval"] == 60 for w in wins)
