@@ -584,3 +584,37 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(sqrt_plus_one("value"), 6).alias("score")
     )
+
+
+@register(
+    "q_agg_quantiles",
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_within_1pct, TRUE AS p95_within_1pct,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch): like
+    q_agg_approx, oracle-checked on the ERROR CONTRACT — the approx
+    p50/p95 must land within 1% of the exact percentile computed
+    alongside. The sketch is the 100 TB default: bounded memory per
+    group vs a full sort for exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("xp50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("xp95"),
+        F.count("*").alias("n_rows"),
+    )
+    within = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) <= 0.01 * F.abs(F.col(x))
+    )
+    return agg.select(
+        "l_returnflag",
+        within("ap50", "xp50").alias("p50_within_1pct"),
+        within("ap95", "xp95").alias("p95_within_1pct"),
+        "n_rows",
+    )
