@@ -273,3 +273,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_user")
     )
+
+
+@register("q_window_session_stream", oracle=None)
+def q_window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (the batch twin is oracle-checked as
+    q_window_session): per-user sessions with a 30-minute gap, merged
+    incrementally across micro-batches; the watermark finalizes and
+    emits a session once no more events can extend it, then drops its
+    state — session count stays bounded by the active window, not
+    history."""
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    out = _run_to_memory(sessions, root, "append")
+    return out.orderBy("user_id", "session_start")
