@@ -6,11 +6,12 @@ from __future__ import annotations
 
 import pytest
 
+from confluent_example_firehose_spark.plans.inspect import executed_plan
 from confluent_example_firehose_spark.registry import query_fns
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(df)
 
 
 @pytest.fixture(scope="module")
