@@ -96,7 +96,18 @@ def main(argv: list[str] | None = None) -> int:
             **{
                 f"kafka.{k}": str(v)
                 for k, v in conf.subset("consumer").items()
-                if k not in ("topic", "bootstrap.servers")
+                # Spark's source manages these itself (offsets/commits/
+                # batch sizing map to startingOffsets/checkpoint/
+                # maxOffsetsPerTrigger — already in KAFKA_DEFAULTS)
+                if k
+                not in (
+                    "topic",
+                    "bootstrap.servers",
+                    "max.poll.records",
+                    "enable.auto.commit",
+                    "auto.offset.reset",
+                    "allow.auto.create.topics",
+                )
             },
         )
 
