@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
             "(no-broker demo mode)",
         )
         sp.add_argument("--bootstrap", help="Kafka bootstrap servers")
+        sp.add_argument(
+            "--checkpoint",
+            help="checkpoint dir (exactly-once restart; default: fresh "
+            "temp dir = NO cross-restart guarantee, dev only)",
+        )
         if mode == "pusher":
             sp.add_argument("-g", "--gateway", help="PushGateway address")
             sp.add_argument("-j", "--job", help="push job name")
@@ -50,20 +55,26 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    extra = {}
+    # Explicit flags are TOP precedence (the reference addProperty's
+    # them into the composite's in-memory layer, which outranks file/
+    # env/system: PrometheusPusher.java:111-120).
+    overrides = {}
     if getattr(args, "gateway", None):
-        extra[cfg.CONFIG_PROM_GATEWAY] = args.gateway
+        overrides[cfg.CONFIG_PROM_GATEWAY] = args.gateway
     if getattr(args, "job", None):
-        extra[cfg.CONFIG_PROM_GATEWAY_JOB] = args.job
-        # -j defaults the consumer group id (PrometheusPusher.java:119)
-        extra.setdefault(cfg.CONFIG_CONSUMER_GROUP_ID, args.job)
+        overrides[cfg.CONFIG_PROM_GATEWAY_JOB] = args.job
     if getattr(args, "listener", None):
-        extra[cfg.CONFIG_PROM_LISTENER] = args.listener
+        overrides[cfg.CONFIG_PROM_LISTENER] = args.listener
     conf = cfg.assemble(
         inline=args.configs,
         config_file=args.config_file,
-        extra_defaults=extra,
+        overrides=overrides,
     )
+    # -j defaults the consumer group id ONLY if nothing else set it
+    # (PrometheusPusher.java:119: getString with the job as fallback);
+    # written into the live top layer (assemble copied `overrides`)
+    if getattr(args, "job", None) and cfg.CONFIG_CONSUMER_GROUP_ID not in conf:
+        conf.layers[0][cfg.CONFIG_CONSUMER_GROUP_ID] = args.job
 
     from .session import get_spark
     from .streaming.pipeline import (
@@ -89,26 +100,32 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
+        # consumer.* keys Spark's source manages itself get TRANSLATED
+        # to their Spark equivalents, not silently dropped:
+        source_opts = {
+            "subscribe": str(conf.get(cfg.CONFIG_CONSUMER_TOPIC)),
+            "startingOffsets": {
+                "earliest": "earliest", "latest": "latest"
+            }.get(str(conf.get("consumer.auto.offset.reset", "latest"))),
+            "maxOffsetsPerTrigger": str(
+                conf.get("consumer.max.poll.records", 1000)
+            ),
+        }
+        passthrough = {
+            f"kafka.{k}": str(v)
+            for k, v in conf.subset("consumer").items()
+            if k
+            not in (
+                "topic",
+                "bootstrap.servers",
+                "max.poll.records",
+                "enable.auto.commit",  # checkpoint replaces commits
+                "auto.offset.reset",
+                "allow.auto.create.topics",
+            )
+        }
         stream = kafka_metric_stream(
-            spark,
-            bootstrap,
-            subscribe=str(conf.get(cfg.CONFIG_CONSUMER_TOPIC)),
-            **{
-                f"kafka.{k}": str(v)
-                for k, v in conf.subset("consumer").items()
-                # Spark's source manages these itself (offsets/commits/
-                # batch sizing map to startingOffsets/checkpoint/
-                # maxOffsetsPerTrigger — already in KAFKA_DEFAULTS)
-                if k
-                not in (
-                    "topic",
-                    "bootstrap.servers",
-                    "max.poll.records",
-                    "enable.auto.commit",
-                    "auto.offset.reset",
-                    "allow.auto.create.topics",
-                )
-            },
+            spark, bootstrap, **source_opts, **passthrough
         )
 
     # Kafka carries METRIC_SCHEMA rows -> gauge-registry keying (name +
@@ -118,7 +135,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.file_source
         else metric_latest_value_stream(stream)
     )
-    ckpt = tempfile.mkdtemp(prefix="firehose_ckpt_")
+    # A configured checkpoint is what makes restart exactly-once (the
+    # commitAsync twin); the temp-dir default is dev-mode only and
+    # cannot survive a process restart.
+    ckpt = (
+        args.checkpoint
+        or conf.get("checkpoint.location")
+        or tempfile.mkdtemp(prefix="firehose_ckpt_")
+    )
     if args.mode == "pusher":
 
         def push_fn(text: str, epoch_id: int) -> None:

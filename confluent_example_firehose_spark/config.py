@@ -164,12 +164,18 @@ def assemble(
     config_file: str | None = None,
     env: Mapping[str, str] | None = None,
     system_props: Mapping[str, Any] | None = None,
+    overrides: Mapping[str, Any] | None = None,
     extra_defaults: Mapping[str, Any] | None = None,
 ) -> LayeredConfig:
     """The full Pusher/Puller precedence chain
-    (PrometheusPusher.java:85-109)."""
+    (PrometheusPusher.java:85-109). `overrides` is the TOP layer — the
+    reference's explicit CLI flags (-g/-j/listener) are addProperty'd
+    into the composite's in-memory config, which outranks every other
+    layer (PrometheusPusher.java:111-120); `extra_defaults` is the
+    gateway-defaults slot at the bottom."""
     env = dict(env if env is not None else os.environ)
     layers: list[Mapping[str, Any]] = []
+    layers.append(dict(overrides or {}))
     if inline:
         layers.append(parse_inline(inline))
     if config_file:

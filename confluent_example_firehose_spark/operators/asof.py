@@ -37,22 +37,29 @@ def asof_join_agg(
 ) -> DataFrame:
     """For each left row: the right row with max (right_time, tiebreak)
     among rows with matching key and right_time <= left_time. Left rows
-    with no match keep nulls (left-asof semantics)."""
+    with no match keep nulls (left-asof semantics).
+
+    Cardinality preservation: the groupBy key is a surrogate row id,
+    not the left columns — duplicate left rows (same key AND time) must
+    each produce their own output row, exactly like a SQL left join,
+    and map-typed left columns would not even be groupable."""
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
     r = F.broadcast(right) if broadcast_right else right
-    cond = (left[left_on] == r[right_on]) & (r[right_time] <= left[left_time])
-    joined = left.join(r, cond, "left")
+    cond = (lid[left_on] == r[right_on]) & (r[right_time] <= lid[left_time])
+    joined = lid.join(r, cond, "left")
     order = F.struct(r[right_time], r[right_tiebreak])
     matched = F.struct(*[r[c] for c in right_cols])
     # Null ordering key for unmatched rows -> max_by skips them; a group
     # that is entirely unmatched yields null (left-join preservation).
     order_or_null = F.when(r[right_tiebreak].isNotNull(), order)
-    agg = joined.groupBy(*[left[c] for c in left.columns]).agg(
-        F.max_by(matched, order_or_null).alias("_match")
+    agg = joined.groupBy(lid["_lid"]).agg(
+        *[F.first(lid[c]).alias(c) for c in left.columns],
+        F.max_by(matched, order_or_null).alias("_match"),
     )
     out = agg
     for c in right_cols:
         out = out.withColumn(c, F.col(f"_match.{c}"))
-    return out.drop("_match")
+    return out.drop("_match", "_lid")
 
 
 def asof_join_merge(

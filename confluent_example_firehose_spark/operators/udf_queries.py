@@ -90,9 +90,16 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wavg(cents: pd.Series, k: pd.Series) -> float:
-        kk = k.to_numpy(dtype=np.int64)
-        cc = cents.to_numpy(dtype=np.int64)
-        return float((cc * kk).sum()) / (100.0 * kk.sum())
+        # permissive like the rest of the engine: null weights (corrupt
+        # props) are skipped, an all-null/zero-weight group yields null
+        # — matching SQL aggregate semantics, not crashing the task
+        mask = k.notna() & cents.notna()
+        kk = k[mask].to_numpy(dtype=np.int64)
+        cc = cents[mask].to_numpy(dtype=np.int64)
+        ksum = kk.sum()
+        if ksum == 0:
+            return None
+        return float((cc * kk).sum()) / (100.0 * ksum)
 
     # pandas UDAFs cannot mix with built-in aggs in one agg() — every
     # aggregate in the plan must be pandas-evaluated

@@ -41,6 +41,8 @@ def kafka_metric_stream(
 
     Byte[] value -> from_json against METRIC_SCHEMA with the permissive
     skip (AbstractFirehose.java:98-105,118-123)."""
+    from ..operators.firehose import parse_metrics
+
     opts = dict(KAFKA_DEFAULTS)
     opts.update(overrides)
     raw = (
@@ -49,12 +51,10 @@ def kafka_metric_stream(
         .options(**opts)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), METRIC_SCHEMA).alias("m")
-    )
-    return parsed.filter(
-        F.col("m").isNotNull() & F.col("m.name").isNotNull()
-    ).select("m.*")
+    # ONE parse/skip implementation for batch and streaming — divergent
+    # corrupt-record predicates would make the two paths process
+    # different row sets.
+    return parse_metrics(raw, value_col="value")
 
 
 def stage_event_files(

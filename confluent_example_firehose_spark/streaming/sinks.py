@@ -41,8 +41,19 @@ def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
     metric = "firehose_last_value"
     lines.append(f"# HELP {metric} Confluent Metric: last value per series")
     lines.append(f"# TYPE {metric} gauge")
+
+    def esc(v: object) -> str:
+        # exposition-format label escaping: one bad tag value must not
+        # poison the whole scrape payload
+        return (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
+
     for r in sorted(rows, key=lambda r: tuple(str(r[c]) for c in key_cols)):
-        labels = ",".join(f'{c}="{r[c]}"' for c in key_cols)
+        labels = ",".join(f'{c}="{esc(r[c])}"' for c in key_cols)
         lines.append(f"{metric}{{{labels}}} {r['last_value']}")
     return "\n".join(lines) + "\n"
 

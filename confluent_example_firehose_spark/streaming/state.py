@@ -5,7 +5,7 @@ initialCapacity(1000), maximumSize(10000) LRU, expireAfterAccess(10 min),
 and a removal listener unregistering evicted series.
 
 Spark twin: applyInPandasWithState with ProcessingTimeTimeout. Each
-key's GroupState holds (last_value, last_ts, n_events); the timeout is
+key's GroupState holds (last_value, last_ts, last_eid, n_events); the timeout is
 reset on every access (= expireAfterAccess semantics); on timeout the
 state is removed and a tombstone row is emitted (= removal listener).
 
@@ -30,7 +30,11 @@ OUTPUT_SCHEMA = (
     "user_id long, event_type string, last_value double, "
     "last_ts timestamp, n_events long, evicted boolean"
 )
-STATE_SCHEMA = "last_value double, last_ts timestamp, n_events long"
+# event_id kept in state so the cross-batch tiebreak matches the batch
+# path's max_by(value, struct(ts, event_id)) total order exactly
+STATE_SCHEMA = (
+    "last_value double, last_ts timestamp, last_eid long, n_events long"
+)
 
 DEFAULT_TTL_MS = 10 * 60 * 1000  # expireAfterAccess(10, MINUTES)
 
@@ -46,7 +50,7 @@ def ttl_latest_value(events: DataFrame, ttl_ms: int = DEFAULT_TTL_MS) -> DataFra
         user_id, event_type = key
         if state.hasTimedOut:
             # Removal listener twin: emit a tombstone, drop the state.
-            last_value, last_ts, n_events = state.get
+            last_value, last_ts, _last_eid, n_events = state.get
             state.remove()
             yield pd.DataFrame(
                 [
@@ -61,22 +65,23 @@ def ttl_latest_value(events: DataFrame, ttl_ms: int = DEFAULT_TTL_MS) -> DataFra
                 ]
             )
             return
-        last_value, last_ts, n_events = (
-            state.get if state.exists else (None, None, 0)
+        last_value, last_ts, last_eid, n_events = (
+            state.get if state.exists else (None, None, None, 0)
         )
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
             tail = pdf.iloc[-1]
-            if last_ts is None or (tail["ts"], tail["event_id"]) >= (
+            if last_ts is None or (tail["ts"].to_pydatetime(), int(tail["event_id"])) > (
                 last_ts,
-                -1,
+                last_eid,
             ):
                 last_value = float(tail["value"])
                 last_ts = tail["ts"].to_pydatetime()
+                last_eid = int(tail["event_id"])
             n_events += len(pdf)
-        state.update((last_value, last_ts, n_events))
+        state.update((last_value, last_ts, last_eid, n_events))
         # expireAfterAccess: every touch re-arms the idle timer.
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(

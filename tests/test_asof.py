@@ -38,3 +38,17 @@ def test_asof_merge_matches_agg(spark):
     # cogroup drops left keys with no right group only if pandas path
     # mishandles them — it must NOT: l3 stays with null px
     assert got == EXPECTED
+
+
+def test_asof_preserves_duplicate_left_rows(spark):
+    """Duplicate left rows (same key and time, no unique column) must
+    each produce an output row — left-join cardinality."""
+    left = spark.createDataFrame([(1, 10), (1, 10), (2, 7)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 5, 42.0, 1)], "k2 long, t2 long, px double, rid long"
+    )
+    out = asof_join_agg(left, right, "k", "k2", "t", "t2", ["px"], "rid").collect()
+    assert len(out) == 3
+    assert sorted((r["k"], r["px"]) for r in out) == [
+        (1, 42.0), (1, 42.0), (2, None)
+    ]

@@ -65,3 +65,19 @@ def test_cli_parser_builds():
     assert args.mode == "pusher" and args.gateway == "http://gw:9091"
     args = build_parser().parse_args(["puller", "--listener", "0.0.0.0:9400"])
     assert args.mode == "puller" and args.listener == "0.0.0.0:9400"
+
+
+def test_overrides_layer_outranks_everything(tmp_path):
+    import json as _json
+
+    f = tmp_path / "c.json"
+    f.write_text(_json.dumps({"prometheus": {"gateway": "http://file-gw"}}))
+    conf = cfg.assemble(
+        inline="prometheus.gateway=http://cli-map-gw",
+        config_file=str(f),
+        env={"CONFLUENT_PROMETHEUS_GATEWAY": "http://env-gw"},
+        overrides={"prometheus.gateway": "http://flag-gw"},
+    )
+    # explicit flag (-g) wins over -c, -f, and env — the reference's
+    # addProperty-into-in-memory-config precedence
+    assert conf.get("prometheus.gateway") == "http://flag-gw"

@@ -111,3 +111,41 @@ def test_salted_join_equals_plain_join(spark):
         for r in big.join(small, "k").collect()
     )
     assert got == want
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Spark's session_window MERGES an event at exactly start+gap into
+    the running session (gap-inclusive), matching the oracle's
+    `diff > gap` new-session predicate in q_window_session — pinned
+    because the two off-by-one conventions silently diverge."""
+    import datetime as dt
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=30))], "u long, ts timestamp"
+    )
+    out = df.groupBy(
+        "u", F.session_window("ts", "30 minutes").alias("w")
+    ).count().collect()
+    assert len(out) == 1 and out[0]["count"] == 2
+
+
+def test_lookup_enrich_identity_fallback(spark):
+    """lookup_enrich: dim hit substitutes, dim miss keeps the original
+    value (LookupMapper getOrDefault twin)."""
+    from confluent_example_firehose_spark.operators.firehose import (
+        lookup_enrich,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "raw_a"), (2, "raw_b")], ["fk", "label"]
+    )
+    dim = spark.createDataFrame([(1, "nice_a")], ["dk", "pretty"])
+    out = {
+        r["fk"]: r["label"]
+        for r in lookup_enrich(
+            fact, dim, "fk", "dk", {"label": "pretty"}
+        ).collect()
+    }
+    assert out == {1: "nice_a", 2: "raw_b"}
