@@ -1,10 +1,15 @@
 """TPC-H classic query shapes over the trimmed testdata schema.
 
-Q1's shape already lives in q_agg_basic; here are the multi-join
-classics Q3 / Q5 / Q10 — the standard proof that join planning (order,
-broadcast vs shuffle, partial aggs) behaves. The reference has no SQL
-surface at all (SURVEY.md §2.B); these demonstrate the engine's
-relational completeness on the driver's TPC-H-ish tables.
+Q1's shape already lives in q_agg_basic; here are the remaining
+classics expressible on the trimmed schema: Q3/Q5/Q6/Q10/Q14/Q18 true
+to spec, plus Q4/Q7/Q8/Q13/Q15/Q17/Q21/Q22 (predicates adapted where
+the testdata lacks a column — each docstring says exactly what moved).
+Q2/Q9/Q11/Q16/Q20 need partsupp, which the testdata does not ship.
+The reference has no SQL surface at all (SURVEY.md §2.B); these
+demonstrate the engine's relational completeness — every join flavor
+(inner/outer/semi/anti, broadcast/shuffle), correlated EXISTS/NOT
+EXISTS, scalar subqueries, double aggregation — on the driver's
+TPC-H-ish tables.
 
 Scale notes:
 - nation/region are tiny -> always broadcast.
@@ -20,9 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..catalog import load_table
 from ..registry import register
-from .relational import dsum, dsum_sql
+from .relational import davg, davg_sql, dsum, dsum_sql
 
 _CUTOFF = "1998-06-01"
 
@@ -278,4 +285,436 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape). The testdata schema has
+    no l_commitdate/l_receiptdate, so the EXISTS predicate is adapted to
+    l_returnflag = 'R'; the operator shape — correlated EXISTS becoming a
+    LEFT SEMI join that deduplicates the probe side before the count —
+    is Q4's. The quarter filter prunes orders at the scan; the semi join
+    shuffles each side once on orderkey and never widens rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum_sql('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7): bilateral trade between two nations
+    by year. Both nation dims broadcast onto supplier/customer BEFORE
+    the fact joins, so lineitem rows from irrelevant nations never reach
+    a shuffle (2/25 selectivity each side); the disjunctive pair
+    predicate then only filters the 2x2 nation combinations left."""
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(volume).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+           / {dsum_sql('volume')} AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): NATION_3's share of ECONOMY-part
+    revenue among ASIA customers, by order year. The 8-way join keeps
+    every dimension (part/supplier/nation/region) broadcast; only
+    lineitem⋈orders and ⋈customer shuffle. The share is a conditional
+    aggregate over one pass — no self-join, no second scan."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    asia_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(national) / dsum(volume)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13; the o_comment NOT
+    LIKE filter is adapted to o_orderpriority since testdata carries no
+    comment column). The join-predicate filter must live INSIDE the
+    outer join condition — pushing it below would drop zero-order
+    customers. Double aggregation: the first shuffles on custkey, the
+    second is tiny (distinct counts), so AQE coalesces it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15). The CREATE VIEW + scalar-max self-
+    reference becomes one pass: aggregate revenue per supplier, take the
+    global max with an unpartitioned window over the (supplier-count-
+    bounded, i.e. tiny) aggregate — the fact table is scanned once, and
+    no recomputation or caching of the view is needed. Revenue equality
+    is safe across engines because both sides sum in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .withColumn(
+            "max_revenue",
+            F.max("total_revenue").over(
+                Window.partitionBy()
+            ),
+        )
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(revenue),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND p_size BETWEEN 1 AND 15
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17; p_container is not in
+    the testdata schema, so the part filter is brand + size range). The
+    correlated scalar subquery (per-part average quantity) becomes a
+    window average partitioned by l_partkey AFTER the broadcast part
+    filter — one scan of lineitem, no self-join. Quantities are
+    integral, so the 0.2*avg threshold is exact in double and the row
+    set matches the oracle bit-for-bit."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", F.avg("l_quantity").over(per_part))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; the
+    commit/receipt-date lateness predicate is adapted to l_returnflag =
+    'R' — sole returner on a multi-supplier finished order). Exercises
+    correlated EXISTS and NOT EXISTS with an inequality correlation:
+    LEFT SEMI + LEFT ANTI joins on orderkey with the suppkey<>suppkey
+    residual riding the join condition. All three lineitem roles prune
+    before joining; supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+    SELECT cntry, count(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM (
+        SELECT c_nationkey AS cntry, c_acctbal, c_custkey
+        FROM customer
+        WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')}
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+    ) rich_idle
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape; the phone-prefix
+    country code is adapted to c_nationkey — no phone column in
+    testdata). Scalar uncorrelated subquery (average positive balance,
+    computed in exact decimal so the threshold is engine-stable) crossed
+    onto customer as a broadcast, then a LEFT ANTI join against recent
+    orders finds dormant customers (every testdata customer has SOME
+    order, so "never ordered" is adapted to "no order since 1999")."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntry")
     )
