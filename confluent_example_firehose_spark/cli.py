@@ -84,7 +84,12 @@ def main(argv: list[str] | None = None) -> int:
         metric_latest_value_stream,
         stage_event_files,
     )
-    from .streaming.sinks import pull_sink, push_sink, to_prometheus_text
+    from .streaming.sinks import (
+        ScrapeServer,
+        pull_sink,
+        push_sink,
+        to_prometheus_text,
+    )
 
     spark = get_spark(f"firehose-{args.mode}")
     if args.file_source:
@@ -151,17 +156,30 @@ def main(argv: list[str] | None = None) -> int:
             print(f"--- push epoch {epoch_id} ---\n{text}", flush=True)
 
         q = push_sink(agg, push_fn, ckpt)
+        server = None
     else:
         q = pull_sink(agg)
+        # Real scrape endpoint (PrometheusPuller.java:50-65): bind
+        # host:port from prometheus.listener, serve the registry table.
+        listener = str(conf.get(cfg.CONFIG_PROM_LISTENER, "0.0.0.0:9400"))
+        host, _, port = listener.rpartition(":")
+        server = ScrapeServer(
+            lambda: to_prometheus_text(spark.table("metrics_state")),
+            host=host or "0.0.0.0",
+            port=int(port),
+        )
         print(
             "registry queryable as spark.table('metrics_state'); "
-            f"listener={conf.get(cfg.CONFIG_PROM_LISTENER, '0.0.0.0:9400')}",
+            f"scrape endpoint http://{server.host}:{server.port}/metrics",
             flush=True,
         )
     try:
         q.awaitTermination()
     except KeyboardInterrupt:  # the shutdown-hook twin
         q.stop()
+    finally:
+        if server is not None:
+            server.close()
     return 0
 
 

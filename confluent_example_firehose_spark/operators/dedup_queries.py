@@ -56,14 +56,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-pairwise demos compare at most this many ids (a FIXED window,
+# not a fraction of the corpus): the pair count is bounded at
+# PAIR_CAP^2/2 no matter how big the input grows. Unbounded near-dup
+# goes through the LSH pipelines (q_dedup_near / q_dedup_simhash /
+# q_similarity_lsh).
+PAIR_CAP = 200
+
+
+def bounded_pairs(spark: SparkSession, n: int) -> DataFrame:
+    """All ordered id pairs (id_a < id_b) over ids [0, n) as a NARROW
+    map over spark.range — no join of any kind generates the pairs, so
+    downstream lookups can be broadcast hash EQUI-joins instead of the
+    O(n^2) theta-BNLJ an `id_a < id_b` join condition forces."""
+    return (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("id_a"),
+            F.floor(F.col("id") / n).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
 @register(
     "q_dedup_jaccard",
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(lower(text), ' '),
                                          x -> x <> '')) AS ws
         FROM documents
+        WHERE doc_id < {PAIR_CAP}
     )
     SELECT id_a, id_b, jac
     FROM (
@@ -79,20 +103,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (word-set) Jaccard near-dup: top-20 most similar pairs.
+    """n-gram (word-set) Jaccard near-dup: top-20 most similar pairs
+    within a FIXED id window (PAIR_CAP docs — the pair count stays
+    bounded at any corpus size; unbounded near-dup is q_dedup_near's
+    LSH path, same verify kernel).
 
-    Brute-force all-pairs at oracle scale for exactness; the scale path
-    is q_dedup_near's LSH candidate generation (same verify kernel).
-    Integer set sizes -> single double division, bit-identical to the
-    oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    Pair generation is a narrow map over spark.range + two broadcast
+    hash equi-joins — no BNLJ/cross join in the plan. Integer set sizes
+    -> single double division, bit-identical to the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PAIR_CAP
+    )
     ws = d.select(
         F.col("doc_id").alias("_id"), F.array_distinct(words("text")).alias("ws")
     )
     a = ws.select(F.col("_id").alias("id_a"), F.col("ws").alias("wa"))
     b = ws.select(F.col("_id").alias("id_b"), F.col("ws").alias("wb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        bounded_pairs(spark, PAIR_CAP)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select(
             "id_a", "id_b", jaccard(F.col("wa"), F.col("wb")).alias("jac")
         )

@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf
 from ..catalog import load_table
 from ..functions.vector import cosine, dot, norm2, to_double_array
 from ..registry import register
+from .dedup_queries import PAIR_CAP, bounded_pairs
 
 N_QUERY_VECS = 5
 TOP_K = 10
@@ -88,8 +89,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_embed",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {PAIR_CAP})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_cosine_similarity(a.v, b.v) AS cos
     FROM e a, e b
@@ -99,13 +101,15 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: top-20 most similar pairs (the
-    threshold-free formulation; a production near-dup filter is the
-    same plan with `cos > tau`). All-pairs here for oracle exactness;
-    the LSH-bucketed variant (q_similarity_lsh) is the scale path."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    """Embedding-cosine near-dup: top-20 most similar pairs within a
+    FIXED id window (PAIR_CAP vectors — bounded pair count at any
+    corpus size; a production near-dup filter is the same plan with
+    `cos > tau`, and the unbounded path is the LSH-bucketed variant,
+    q_similarity_lsh). Pair generation is a narrow map + two broadcast
+    hash equi-joins — no BNLJ/cross join in the plan."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < PAIR_CAP
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -118,7 +122,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nb"),
     )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        bounded_pairs(spark, PAIR_CAP)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -527,34 +527,38 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (TPC-H Q15). The CREATE VIEW + scalar-max self-
-    reference becomes one pass: aggregate revenue per supplier, take the
-    global max with an unpartitioned window over the (supplier-count-
-    bounded, i.e. tiny) aggregate — the fact table is scanned once, and
-    no recomputation or caching of the view is needed. Revenue equality
-    is safe across engines because both sides sum in exact decimal."""
+    reference becomes: aggregate revenue per supplier, reduce that to a
+    1-row global max, broadcast-join the max back onto the aggregate on
+    equality (ties kept). Unlike a Window.partitionBy() global max —
+    which funnels every per-supplier row through ONE task — this stays
+    fully parallel, and Spark's exchange reuse (ReusedExchange) dedupes
+    the identical revenue subtree so lineitem is still scanned once.
+    Revenue equality is safe across engines because both sides sum in
+    exact decimal."""
+    # The explicit isnotnull makes the revenue subtree IDENTICAL under
+    # both the max branch and the join branch (the join would infer it
+    # on one side only), so ReuseExchange dedupes the shuffle and
+    # lineitem is scanned once. No-op semantically: l_suppkey is a
+    # non-null key.
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
+        & F.col("l_suppkey").isNotNull()
     )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
         )
-        .withColumn(
-            "max_revenue",
-            F.max("total_revenue").over(
-                Window.partitionBy()
-            ),
-        )
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
     )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    best = revenue.join(
+        F.broadcast(max_rev),
+        F.col("total_revenue") == F.col("max_revenue"),
+    ).select("supplier_no", "total_revenue")
     s = load_table(spark, sf_dir, "supplier")
     return (
         s.join(
-            F.broadcast(revenue),
+            F.broadcast(best),
             F.col("s_suppkey") == F.col("supplier_no"),
         )
         .select("s_suppkey", "s_name", "total_revenue")

@@ -34,6 +34,18 @@ KAFKA_DEFAULTS = {
 }
 
 
+def kafka_source_options(bootstrap: str, **overrides: str) -> dict[str, str]:
+    """The exact option dict handed to the Kafka source: reference
+    defaults (Configs.java:28-37) + bootstrap + caller overrides
+    (overrides win, mirroring the reference's first-wins composite).
+    Split out from kafka_metric_stream so the mapping is testable in a
+    container with no kafka-clients jar/broker."""
+    opts = dict(KAFKA_DEFAULTS)
+    opts.update(overrides)
+    opts["kafka.bootstrap.servers"] = bootstrap
+    return opts
+
+
 def kafka_metric_stream(
     spark: SparkSession, bootstrap: str, **overrides: str
 ) -> DataFrame:
@@ -43,12 +55,9 @@ def kafka_metric_stream(
     skip (AbstractFirehose.java:98-105,118-123)."""
     from ..operators.firehose import parse_metrics
 
-    opts = dict(KAFKA_DEFAULTS)
-    opts.update(overrides)
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .options(**opts)
+        .options(**kafka_source_options(bootstrap, **overrides))
         .load()
     )
     # ONE parse/skip implementation for batch and streaming — divergent
@@ -115,12 +124,14 @@ def metric_latest_value_stream(metrics: DataFrame) -> DataFrame:
     gauge-registry key: (metric name, key-sorted filtered label vector)
     (AbstractPrometheusFirehose.java:42,48). Works identically on a
     batch or streaming metrics DataFrame (same Catalyst plan)."""
-    from ..operators.firehose import series_key
+    from ..operators.firehose import label_values, labels, series_key
 
     keyed = metrics.select(
         F.col("name"),
         series_key("name", "tags").alias("series"),
         F.col("component"),
+        labels("tags").alias("labels"),
+        label_values("tags").alias("label_values"),
         F.timestamp_seconds(F.col("timestamp")).alias("ts"),
         F.col("value"),
         F.col("id"),
@@ -130,6 +141,10 @@ def metric_latest_value_stream(metrics: DataFrame) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.first("component").alias("component"),  # gauge namespace,
         # AbstractPrometheusFirehose.java:53-63
+        # labels/label_values are functions of the series key (key-
+        # sorted), so first() is deterministic per group.
+        F.first("labels").alias("labels"),
+        F.first("label_values").alias("label_values"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

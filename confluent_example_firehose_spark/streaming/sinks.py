@@ -26,34 +26,81 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _esc(v: object) -> str:
+    # exposition-format label escaping: one bad tag value must not
+    # poison the whole scrape payload
+    return (
+        str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+_NON_LABEL_COLS = (
+    "last_value",
+    "last_ts",
+    "n_events",
+    "name",
+    "component",
+    "series",
+    "labels",
+    "label_values",
+)
+
+
 def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
     """Render a latest-value state table in Prometheus text exposition
-    format (gauge metadata mirrors AbstractPrometheusFirehose.java:53-63:
-    namespace=component, help='Confluent Metric: '+name).
+    format.
+
+    Two shapes:
+    - METRIC_SCHEMA state (has `name` + `component`): one gauge family
+      per metric with the reference's exact metadata
+      (AbstractPrometheusFirehose.java:53-63 — full name
+      `{component}_{name}` per the prometheus client's
+      namespace-prefixing, help 'Confluent Metric: '+name); label pairs
+      come from the key-sorted `labels`/`label_values` arrays
+      (FirehoseMetric.java:77-102 twins).
+    - generic latest-value table: every non-value column becomes a
+      label on a single `firehose_last_value` family.
 
     Driver-side by design: the state table is bounded (it's the scrape
     payload), like the reference's in-memory registry."""
     rows = df.collect()
-    key_cols = [
-        c for c in df.columns if c not in ("last_value", "last_ts", "n_events")
-    ]
-    lines = []
+    cols = set(df.columns)
+    lines: list[str] = []
+
+    if {"name", "component", "last_value"} <= cols:
+        has_arrays = {"labels", "label_values"} <= cols
+        families: dict[tuple[str, str], list] = {}
+        for r in rows:
+            families.setdefault(
+                (str(r["component"]), str(r["name"])), []
+            ).append(r)
+        for (component, name) in sorted(families):
+            # prometheus-client full name = namespace + "_" + name
+            # (Gauge.build().name(..).namespace(..),
+            #  AbstractPrometheusFirehose.java:56-57)
+            full = f"{component}_{name}" if component else name
+            lines.append(f"# HELP {full} Confluent Metric: {name}")
+            lines.append(f"# TYPE {full} gauge")
+            for r in sorted(
+                families[(component, name)],
+                key=lambda r: str(r["series"]) if "series" in cols else "",
+            ):
+                if has_arrays and r["labels"]:
+                    pairs = ",".join(
+                        f'{k}="{_esc(v)}"'
+                        for k, v in zip(r["labels"], r["label_values"])
+                    )
+                    lines.append(f"{full}{{{pairs}}} {r['last_value']}")
+                else:
+                    lines.append(f"{full} {r['last_value']}")
+        return "\n".join(lines) + "\n"
+
+    key_cols = [c for c in df.columns if c not in _NON_LABEL_COLS]
     metric = "firehose_last_value"
     lines.append(f"# HELP {metric} Confluent Metric: last value per series")
     lines.append(f"# TYPE {metric} gauge")
-
-    def esc(v: object) -> str:
-        # exposition-format label escaping: one bad tag value must not
-        # poison the whole scrape payload
-        return (
-            str(v)
-            .replace("\\", "\\\\")
-            .replace('"', '\\"')
-            .replace("\n", "\\n")
-        )
-
     for r in sorted(rows, key=lambda r: tuple(str(r[c]) for c in key_cols)):
-        labels = ",".join(f'{c}="{esc(r[c])}"' for c in key_cols)
+        labels = ",".join(f'{c}="{_esc(r[c])}"' for c in key_cols)
         lines.append(f"{metric}{{{labels}}} {r['last_value']}")
     return "\n".join(lines) + "\n"
 
@@ -89,3 +136,54 @@ def pull_sink(agg: DataFrame, query_name: str = "metrics_state") -> StreamingQue
         .queryName(query_name)
         .start()
     )
+
+
+class ScrapeServer:
+    """Driver-side HTTP scrape endpoint — the reference's HTTPServer
+    twin (PrometheusPuller.java:50-65: bind `host:port` from
+    `prometheus.listener`, serve the registry passively; Prometheus
+    GETs it).
+
+    Wraps a zero-arg render callable (typically
+    `lambda: to_prometheus_text(spark.table(name))`) in a daemon
+    `http.server` thread. Driver-side is the right place: the
+    latest-value state table is the bounded scrape payload, exactly
+    like the reference's in-driver CollectorRegistry; executors never
+    serve HTTP."""
+
+    CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
+
+    def __init__(self, render: Callable[[], str], host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        content_type = self.CONTENT_TYPE
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                try:
+                    body = render().encode("utf-8")
+                    self.send_response(200)
+                except Exception as e:  # scrape must not kill the server
+                    body = f"# scrape error: {e}\n".encode("utf-8")
+                    self.send_response(500)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args: object) -> None:
+                pass  # quiet; the reference logs scrapes at debug only
+
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="prometheus-scrape", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        """Stop serving (PrometheusPuller.java:67-73 close path)."""
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)

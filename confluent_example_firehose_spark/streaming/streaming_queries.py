@@ -9,6 +9,7 @@ semantics; the driver records the weaker rows-only check by design.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -29,14 +30,40 @@ from .state import ttl_latest_value
 
 _N_FILES = 4
 
+# One staged events dir per sf_dir, shared by every streaming query in
+# the process (VERDICT r1 item 1: per-query re-staging dominated the
+# driver's smoke budget). The staged files are read-only inputs; each
+# query still gets its own checkpoint dir, so sharing is safe.
+_STAGED: dict[str, str] = {}
+
 
 def _workdir() -> str:
     return tempfile.mkdtemp(prefix="firehose_stream_")
 
 
+@contextlib.contextmanager
+def _few_partitions(spark: SparkSession, n: int = 8):
+    """Stateful streaming ops pay per-micro-batch state-store + Python
+    exchange overhead PER shuffle partition; the smoke's ~750 series
+    don't need 32. Scoped to the query (fresh checkpoints each run, so
+    repartitioning state is safe); on a cluster the session default
+    stands."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _staged_events(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
-    events_dir = os.path.join(root, "events")
-    stage_event_files(spark, sf_dir, events_dir, _N_FILES)
+    events_dir = _STAGED.get(sf_dir)
+    if events_dir is None:
+        events_dir = os.path.join(
+            tempfile.mkdtemp(prefix="firehose_staged_"), "events"
+        )
+        stage_event_files(spark, sf_dir, events_dir, _N_FILES)
+        _STAGED[sf_dir] = events_dir
     return file_event_stream(spark, events_dir)
 
 
@@ -95,8 +122,6 @@ def q_sink_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposition format and handed to the pusher. Emits (epoch_id,
     n_series, payload_chars) per push."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
-    agg = latest_value_stream(stream)
     pushes: list[tuple[int, int, int]] = []
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -104,14 +129,17 @@ def q_sink_push(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_series = max(0, len(text.splitlines()) - 2)  # minus HELP/TYPE
         pushes.append((epoch_id, n_series, len(text)))
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(per_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        agg = latest_value_stream(stream)
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     schema = T.StructType(
         [
             T.StructField("epoch_id", T.LongType()),
@@ -131,9 +159,10 @@ def q_sink_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrape registry. Returns the final registry contents (one row per
     live series)."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
-    agg = latest_value_stream(stream)
-    out = _run_to_memory(agg, root, "complete")
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        agg = latest_value_stream(stream)
+        out = _run_to_memory(agg, root, "complete")
     return out.orderBy("user_id", "event_type")
 
 
@@ -144,9 +173,10 @@ def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     26-46), with a 10-minute late-data bound; closed-window state is
     dropped once the watermark passes (bounded state at 100 TB)."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
-    win = windowed_counts_stream(stream)
-    out = _run_to_memory(win, root, "update")
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        win = windowed_counts_stream(stream)
+        out = _run_to_memory(win, root, "update")
     # Per-epoch updates may repeat a window; keep the final value.
     return (
         out.groupBy("w_start", "event_type")
@@ -164,11 +194,12 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survives 100 TB: state is bounded by the lateness window, not
     the key cardinality of all time)."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    )
-    out = _run_to_memory(deduped, root, "append")
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        )
+        out = _run_to_memory(deduped, root, "append")
     return (
         out.groupBy("event_type")
         .agg(F.count("*").alias("n_kept"))
@@ -187,12 +218,7 @@ def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     root = _workdir()
-    # Fewer state partitions: each micro-batch pays one Python worker
-    # exchange per partition; 8 is plenty for the smoke's 750 series.
-    # (On a cluster this stays at the session default.)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _few_partitions(spark):
         stream = _staged_events(spark, sf_dir, root)
         state = ttl_latest_value(stream, ttl_ms=2000)
         name = "t" + uuid.uuid4().hex[:12]
@@ -206,19 +232,17 @@ def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         # availableNow + ProcessingTimeTimeout would keep scheduling
         # timeout-drain batches; instead run continuous micro-batches
         # and stop once evictions appear (or a hard deadline passes).
-        deadline = time.time() + 90
+        deadline = time.time() + 25
         while time.time() < deadline:
             n_evicted = (
                 spark.table(name).filter(F.col("evicted")).limit(1).count()
             )
             if n_evicted > 0 and not q.status["isDataAvailable"]:
                 break
-            time.sleep(2)
+            time.sleep(1)
         q.stop()
         q.awaitTermination()
         out = spark.table(name)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         out.groupBy("user_id", "event_type", "evicted")
         .agg(
@@ -239,7 +263,20 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer match (bounded join state — the only way a stream-stream
     join survives unbounded input)."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        out = _stream_join_run(stream, root)
+    return (
+        out.groupBy("c_user")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("p_value"), 6).alias("attributed_value"),
+        )
+        .orderBy("c_user")
+    )
+
+
+def _stream_join_run(stream: DataFrame, root: str) -> DataFrame:
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -264,15 +301,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     )
-    out = _run_to_memory(joined, root, "append")
-    return (
-        out.groupBy("c_user")
-        .agg(
-            F.count("*").alias("n_attributed"),
-            F.round(F.sum("p_value"), 6).alias("attributed_value"),
-        )
-        .orderBy("c_user")
-    )
+    return _run_to_memory(joined, root, "append")
 
 
 @register("q_window_session_stream", oracle=None)
@@ -284,7 +313,13 @@ def q_window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — session count stays bounded by the active window, not
     history."""
     root = _workdir()
-    stream = _staged_events(spark, sf_dir, root)
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        out = _session_stream_run(stream, root)
+    return out.orderBy("user_id", "session_start")
+
+
+def _session_stream_run(stream: DataFrame, root: str) -> DataFrame:
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -299,5 +334,4 @@ def q_window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    out = _run_to_memory(sessions, root, "append")
-    return out.orderBy("user_id", "session_start")
+    return _run_to_memory(sessions, root, "append")

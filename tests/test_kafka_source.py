@@ -1,0 +1,121 @@
+"""Kafka source parity tests (VERDICT r1 item 2).
+
+No kafka-clients jar or broker exists in this container, so the source
+is pinned two ways:
+1. the exact option dict `kafka_source_options` builds is asserted
+   against the reference's consumer tuning (Configs.java:28-37);
+2. the full METRIC_SCHEMA streaming path (byte rows -> parse_metrics ->
+   metric_latest_value_stream) runs over a file-backed stream of JSON
+   value rows — the identical downstream Catalyst plan the Kafka source
+   would feed (Structured Streaming plans are source-agnostic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from confluent_example_firehose_spark.streaming.pipeline import (
+    KAFKA_DEFAULTS,
+    kafka_source_options,
+    metric_latest_value_stream,
+)
+
+GOLDEN = (
+    '{{"id":"{rid}","name":"request_bytes_total",'
+    '"timestamp":{ts},"component":"kafka",'
+    '"tags":{{"request_type":"ApiVersions","source":"kafka-3",'
+    '"tenant":"lkc-loz7y","unit":"bytes","user":"1191"}},'
+    '"value":{val},'
+    '"window":{{"from":1572402420,"interval":60,"to":1572402480}}}}'
+)
+
+
+def test_kafka_option_mapping_matches_reference_defaults():
+    """Each reference consumer default (Configs.java:28-37) maps to its
+    Spark source option."""
+    opts = kafka_source_options("broker:9092")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    # topic: metrics.v1 (Configs.java:28)
+    assert opts["subscribe"] == "metrics.v1"
+    # auto.offset.reset=latest (Configs.java:31)
+    assert opts["startingOffsets"] == "latest"
+    # isolation.level=read_committed (Configs.java:32)
+    assert opts["kafka.isolation.level"] == "read_committed"
+    # max.poll.records=1000 (Configs.java:33)
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+    # fetch.min.bytes=16000 (Configs.java:36)
+    assert opts["kafka.fetch.min.bytes"] == "16000"
+
+
+def test_kafka_option_overrides_win():
+    """Caller overrides outrank defaults — the composite-config
+    first-wins precedence (PrometheusPusher.java:85-120)."""
+    opts = kafka_source_options(
+        "b:9092", subscribe="other.topic", maxOffsetsPerTrigger="50"
+    )
+    assert opts["subscribe"] == "other.topic"
+    assert opts["maxOffsetsPerTrigger"] == "50"
+    # untouched defaults survive
+    assert opts["kafka.isolation.level"] == "read_committed"
+    # defaults dict itself is not mutated
+    assert KAFKA_DEFAULTS["subscribe"] == "metrics.v1"
+
+
+def test_metric_stream_path_over_injected_byte_rows(spark, tmp_path):
+    """parse_metrics -> metric_latest_value_stream over a real
+    streaming source of raw JSON value rows: 3 points of one series + 1
+    of another + 1 corrupt row, split across two files (= two polls).
+    Final state: latest value per series, corrupt row skipped
+    (AbstractFirehose.java:98-105,116-123)."""
+    from confluent_example_firehose_spark.operators.firehose import parse_metrics
+
+    rows1 = [
+        (GOLDEN.format(rid="a1", ts=1572402480, val=47),),
+        (GOLDEN.format(rid="a2", ts=1572402540, val=99),),
+        ("corrupt {not json",),
+    ]
+    rows2 = [
+        (GOLDEN.format(rid="a3", ts=1572402500, val=13),),  # late, loses
+        (
+            GOLDEN.format(rid="b1", ts=1572402600, val=7).replace(
+                "request_bytes_total", "response_bytes_total"
+            ),
+        ),
+    ]
+    src = tmp_path / "kafka_twin"
+    spark.createDataFrame(rows1, "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    spark.createDataFrame(rows2, "value string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = metric_latest_value_stream(parse_metrics(stream))
+    q = (
+        state.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("kafka_twin_state")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["name"]: r
+        for r in spark.table("kafka_twin_state").collect()
+    }
+    assert set(out) == {"request_bytes_total", "response_bytes_total"}
+    req = out["request_bytes_total"]
+    # latest by (ts, id): 1572402540/99 wins over the late 13
+    assert req["last_value"] == 99.0
+    assert req["n_events"] == 3  # corrupt row never reached the agg
+    assert req["component"] == "kafka"
+    assert req["labels"] == ["request_type", "source", "tenant", "user"]
+    assert out["response_bytes_total"]["last_value"] == 7.0

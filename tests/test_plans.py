@@ -64,6 +64,36 @@ def test_dedup_simhash_no_cross_join(spark, sf_dir, fns):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_jaccard_no_cross_join(spark, sf_dir, fns):
+    """The bounded all-pairs demo generates pairs via a narrow map over
+    spark.range + broadcast EQUI-joins — a refactor back to an
+    `id_a < id_b` join condition would silently reintroduce the BNLJ."""
+    plan = plan_of(fns["q_dedup_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_embed_no_cross_join(spark, sf_dir, fns):
+    plan = plan_of(fns["q_dedup_embed"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q15_parallel_global_max(spark, sf_dir, fns):
+    """Global max must be a 1-row aggregate broadcast back onto the
+    revenue aggregate — NOT an unpartitioned window, which funnels the
+    whole per-supplier aggregate through one task (ADVICE r1). The
+    revenue shuffle dedupes via AQE stage reuse at runtime."""
+    df = fns["q_tpch_q15"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    df.collect()
+    final = df._jdf.queryExecution().toString()
+    assert "ReusedExchange" in final  # lineitem scanned/shuffled once
+
+
 def test_tpch_q5_broadcasts_nation_region(spark, sf_dir, fns):
     plan = plan_of(fns["q_tpch_q5"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
