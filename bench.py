@@ -40,6 +40,7 @@ HEADLINE = [
     "q_dedup_simhash",     # simhash blocking near-dup
     "q_similarity_topk",   # brute-force cosine top-k over embeddings
     "q_text_tokens",       # tokenize+explode+count
+    "q_corpus_curation",   # composite curation pipeline (filter→dedup→stats)
 ]
 
 

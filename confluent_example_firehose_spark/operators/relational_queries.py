@@ -618,3 +618,117 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("ap95", "xp95").alias("p95_within_1pct"),
         "n_rows",
     )
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, supplier
+    WHERE l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-beating salted equi-join as a declared query (the
+    pathological-skew path: one hot key = 30% of 100 TB, where even
+    AQE's skew split leaves a partition too big for one executor).
+    The fact side's rows spread over 8 salt sub-keys; the dimension
+    replicates 8x; the join key becomes (l_suppkey, salt) so no single
+    reducer owns a hot supplier. The aggregate is salt-invariant —
+    results are IDENTICAL to the plain join (the oracle is the plain
+    join), only the shuffle layout changes."""
+    from .relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    joined = salted_join(li, s.select("l_suppkey", "s_nationkey"), "l_suppkey")
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O",
+           {dsum_sql("CASE WHEN l_linestatus = 'N' THEN l_quantity END")} AS "N"
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): quantity by return flag x line status.
+    Explicit pivot values pin the output schema (no extra distinct-scan
+    job to discover them — at 100 TB that discovery pass is a full
+    shuffle you should never pay for a known domain). Catalyst compiles
+    pivot to conditional aggregation — exactly the oracle's CASE WHEN
+    formulation, one partial+final agg pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "N"])
+        .agg(dsum("l_quantity"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a, names b
+    WHERE a.block = b.block
+      AND a.p_name < b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup with blocking — the catalog/entity
+    flavor of near-dup: distinct names, EQUI-join on a blocking key
+    (last token), Levenshtein verify within the block. The blocking
+    join is the scale shape (same candidate/verify split as MinHash
+    LSH: candidates via one equi-shuffle, O(block^2) only within
+    blocks, never O(n^2) globally). Levenshtein is the textbook DP —
+    identical in Spark and DuckDB."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = p.select(F.col("p_name").alias("name_a"), "block")
+    b = p.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )

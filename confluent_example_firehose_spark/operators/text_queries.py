@@ -188,3 +188,98 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         F.size(words("text")).cast("long").alias("n_words"),
     )
+
+
+@register(
+    "q_corpus_curation",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source, md5(text) AS fp,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, source, fp,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_filter(ws, x -> x IN ('a', 'the')))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        FROM scored
+        WHERE len(ws) >= 5
+    ),
+    kept AS (
+        SELECT * FROM q
+        WHERE CAST(n_stop AS DOUBLE) / n_words >= 0.05
+          AND CAST(n_distinct AS DOUBLE) / n_words >= 0.3
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_words) AS total_words,
+           CAST(sum(n_stop) AS DOUBLE) / sum(n_words) AS stop_ratio,
+           CAST(sum(n_words) AS DOUBLE) / count(*) AS mean_doc_len
+    FROM deduped
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composite pipeline a
+    100 TB pre-training run actually executes: tokenize -> quality
+    gates (min length, stopword density = language signal, type-token
+    ratio = degeneracy signal) -> exact dedup on content fingerprint ->
+    per-(lang, source) corpus stats.
+
+    Scale shape: the scoring stage is one narrow codegen'd pass (array
+    math per row, no shuffle); dedup is hash-groupBy with min_by (one
+    row of state per distinct fingerprint — no window sort); the final
+    rollup is a partial+final agg over the deduped survivors. Two
+    shuffles total regardless of input size. Every aggregate is an
+    integer sum (ratios derived by ONE division at the end), so the
+    result is bit-identical across engines and partitionings."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id", "lang", "source", F.md5("text").alias("fp"),
+        words("text").alias("ws"),
+    ).filter(F.size("ws") >= 5)
+    n = F.size("ws").cast("long")
+    n_stop = F.size(
+        F.filter(F.col("ws"), lambda w: w.isin(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct("ws")).cast("long")
+    q = d.select(
+        "doc_id", "lang", "source", "fp",
+        n.alias("n_words"), n_stop.alias("n_stop"),
+        n_distinct.alias("n_distinct"),
+    )
+    kept = q.filter(
+        (F.col("n_stop").cast("double") / F.col("n_words") >= 0.05)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.3)
+    )
+    rep = F.struct("doc_id", "lang", "source", "n_words", "n_stop")
+    deduped = (
+        kept.groupBy("fp")
+        .agg(F.min_by(rep, F.col("doc_id")).alias("w"))
+        .select("w.lang", "w.source", "w.n_words", "w.n_stop")
+    )
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            (
+                F.sum("n_stop").cast("double") / F.sum("n_words")
+            ).alias("stop_ratio"),
+            (
+                F.sum("n_words").cast("double") / F.count("*")
+            ).alias("mean_doc_len"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -722,3 +722,148 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus AS shipmode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY shipmode
+    ORDER BY shipmode
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes and order priority (TPC-H Q12 shape; testdata has
+    no l_shipmode/l_commitdate/l_receiptdate, so the mode group is
+    l_linestatus and "late" is l_shipdate >= o_orderdate + 60 days).
+    One orders⋈lineitem shuffle join, conditional counts in a single
+    partial+final agg pass — no second scan for the two priority
+    classes."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+            AND l_quantity >= 1 AND l_quantity <= 20)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+            AND l_quantity >= 10 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+            AND l_quantity >= 20 AND l_quantity <= 50))
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape; p_container/l_shipmode/
+    l_shipinstruct absent from testdata, so the three disjunctive
+    branches pair p_brand+p_size with l_quantity ranges). The classic
+    OR-of-ANDs join predicate: part stays broadcast, the disjunction
+    evaluates post-join while each side's common constraints
+    (p_brand IN ..., l_quantity range) are inferred and pushed to the
+    scans by Catalyst's constraint propagation."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    br = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(br)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_name, s_nationkey AS s_addr
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300.0
+    )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape; partsupp and its
+    availqty threshold are absent from testdata, so the inner block
+    becomes "suppliers who shipped > 300 units of matching parts in
+    1996" — same nested semi-join-on-aggregate structure). Inner: part
+    name prefix broadcast-joined to the date-pruned lineitem, grouped
+    per supplier with a HAVING on the quantity sum; outer: LEFT SEMI
+    join supplier against the qualifying key set — supplier rows never
+    expand, no distinct needed."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qualifying = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300.0)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", F.col("s_nationkey").alias("s_addr"))
+        .orderBy("s_name")
+    )
