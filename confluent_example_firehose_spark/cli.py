@@ -86,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from .streaming.sinks import (
         ScrapeServer,
+        gateway_push_fn,
         pull_sink,
         push_sink,
         to_prometheus_text,
@@ -149,25 +150,42 @@ def main(argv: list[str] | None = None) -> int:
         or tempfile.mkdtemp(prefix="firehose_ckpt_")
     )
     if args.mode == "pusher":
+        gateway = conf.get(cfg.CONFIG_PROM_GATEWAY)
+        if gateway:
+            # real PushGateway POST per epoch (pushAdd twin,
+            # PrometheusPusher.java:61-67)
+            job = str(conf.get(cfg.CONFIG_PROM_GATEWAY_JOB, "firehose"))
+            push_fn = gateway_push_fn(str(gateway), job)
+        else:
 
-        def push_fn(text: str, epoch_id: int) -> None:
-            # stdout stands in for the PushGateway HTTP POST
-            # (PrometheusPusher.java:61-67); swap in requests.post(...)
-            print(f"--- push epoch {epoch_id} ---\n{text}", flush=True)
+            def push_fn(text: str, epoch_id: int) -> None:
+                # no gateway configured: render to stdout (dev mode)
+                print(f"--- push epoch {epoch_id} ---\n{text}", flush=True)
 
         q = push_sink(agg, push_fn, ckpt)
         server = None
     else:
-        q = pull_sink(agg)
-        # Real scrape endpoint (PrometheusPuller.java:50-65): bind
-        # host:port from prometheus.listener, serve the registry table.
+        # Bind the scrape endpoint BEFORE starting the streaming query:
+        # a busy port must fail cleanly with nothing to tear down, not
+        # leave a running query behind an unhandled OSError (ADVICE r2;
+        # same order as the reference — PrometheusPuller binds the
+        # HTTPServer first, then starts the consumer, :53-64, and a
+        # fatal bind error exits with help, :58-62).
         listener = str(conf.get(cfg.CONFIG_PROM_LISTENER, "0.0.0.0:9400"))
         host, _, port = listener.rpartition(":")
-        server = ScrapeServer(
-            lambda: to_prometheus_text(spark.table("metrics_state")),
-            host=host or "0.0.0.0",
-            port=int(port),
-        )
+        try:
+            server = ScrapeServer(
+                lambda: to_prometheus_text(spark.table("metrics_state")),
+                host=host or "0.0.0.0",
+                port=int(port),
+            )
+        except OSError as e:
+            print(
+                f"cannot bind scrape endpoint {listener}: {e}",
+                file=sys.stderr,
+            )
+            return 1
+        q = pull_sink(agg)
         print(
             "registry queryable as spark.table('metrics_state'); "
             f"scrape endpoint http://{server.host}:{server.port}/metrics",

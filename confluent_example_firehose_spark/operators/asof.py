@@ -5,9 +5,14 @@ Two implementations with identical semantics:
 1. `asof_join_agg` (default): composition of built-ins — range-condition
    LEFT join + max_by per left row. Catalyst plans the equi-part of the
    condition as a hash join and the range part as a post-join filter;
-   the groupBy collapses candidates with a partial agg. Right
-   (reference) side is typically a dimension -> broadcast it and the
-   fact never shuffles.
+   the groupBy collapses candidates with a partial agg. The join is NOT
+   force-broadcast (the right side may be fact-sized; at 100 TB a forced
+   `F.broadcast(fact)` is a driver OOM) — AQE picks broadcast at runtime
+   when the right side is actually small. The max_by groupBy includes the
+   join key alongside the surrogate row id, so after a sort-merge join
+   the aggregation reuses the join's hash partitioning (a subset of the
+   grouping keys satisfies the clustered distribution) — no second
+   shuffle of the fact.
 
 2. `asof_join_merge`: cogrouped applyInPandas running pd.merge_asof per
    key group — the scale path when the per-key candidate multiplicity
@@ -33,7 +38,7 @@ def asof_join_agg(
     right_time: str,
     right_cols: list[str],
     right_tiebreak: str,
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """For each left row: the right row with max (right_time, tiebreak)
     among rows with matching key and right_time <= left_time. Left rows
@@ -42,7 +47,10 @@ def asof_join_agg(
     Cardinality preservation: the groupBy key is a surrogate row id,
     not the left columns — duplicate left rows (same key AND time) must
     each produce their own output row, exactly like a SQL left join,
-    and map-typed left columns would not even be groupable."""
+    and map-typed left columns would not even be groupable. The join
+    key rides along in the groupBy purely so the aggregation can reuse
+    the join's output partitioning (hash on the key co-locates every
+    candidate for one left row); it is constant per _lid."""
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
     r = F.broadcast(right) if broadcast_right else right
     cond = (lid[left_on] == r[right_on]) & (r[right_time] <= lid[left_time])
@@ -52,14 +60,16 @@ def asof_join_agg(
     # Null ordering key for unmatched rows -> max_by skips them; a group
     # that is entirely unmatched yields null (left-join preservation).
     order_or_null = F.when(r[right_tiebreak].isNotNull(), order)
-    agg = joined.groupBy(lid["_lid"]).agg(
+    agg = joined.groupBy(
+        lid[left_on].alias("_gkey"), lid["_lid"]
+    ).agg(
         *[F.first(lid[c]).alias(c) for c in left.columns],
         F.max_by(matched, order_or_null).alias("_match"),
     )
     out = agg
     for c in right_cols:
         out = out.withColumn(c, F.col(f"_match.{c}"))
-    return out.drop("_match", "_lid")
+    return out.drop("_match", "_lid", "_gkey")
 
 
 def asof_join_merge(

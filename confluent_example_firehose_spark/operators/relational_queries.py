@@ -688,18 +688,32 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew guard for q_dedup_fuzzy: blocks bigger than this are dropped from
+# pair generation (same idea as dedup.bucket_pairs' max_bucket). A block
+# this hot is a useless blocking key anyway — it approaches all-pairs —
+# and one degenerate token must not go O(block^2) on a 100 TB catalog.
+# Encoded identically in the oracle so semantics match at every scale
+# (test-SF max block size is 8; the guard is latent there).
+FUZZY_MAX_BLOCK = 256
+
+
 @register(
     "q_dedup_fuzzy",
-    oracle="""
+    oracle=f"""
     WITH names AS (
         SELECT DISTINCT p_name,
                string_split(p_name, ' ')[-1] AS block
         FROM part
+    ),
+    ok_blocks AS (
+        SELECT block FROM names
+        GROUP BY block HAVING count(*) <= {FUZZY_MAX_BLOCK}
     )
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
     FROM names a, names b
     WHERE a.block = b.block
+      AND a.block IN (SELECT block FROM ok_blocks)
       AND a.p_name < b.p_name
       AND levenshtein(a.p_name, b.p_name) <= 3
     ORDER BY name_a, name_b
@@ -711,13 +725,12 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last token), Levenshtein verify within the block. The blocking
     join is the scale shape (same candidate/verify split as MinHash
     LSH: candidates via one equi-shuffle, O(block^2) only within
-    blocks, never O(n^2) globally). Levenshtein is the textbook DP —
-    identical in Spark and DuckDB."""
-    p = (
-        load_table(spark, sf_dir, "part")
-        .select("p_name")
-        .distinct()
-        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    blocks, never O(n^2) globally). A per-block size cap
+    (FUZZY_MAX_BLOCK) drops degenerate hot blocks so one shared token
+    can't create a quadratic straggler. Levenshtein is the textbook
+    DP — identical in Spark and DuckDB."""
+    p = fuzzy_block_names(
+        load_table(spark, sf_dir, "part").select("p_name")
     )
     a = p.select(F.col("p_name").alias("name_a"), "block")
     b = p.select(F.col("p_name").alias("name_b"), "block")
@@ -731,4 +744,24 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
+    )
+
+
+def fuzzy_block_names(
+    names: DataFrame, max_block: int = FUZZY_MAX_BLOCK
+) -> DataFrame:
+    """Distinct names with their blocking key, hot blocks (> max_block
+    members) removed. The block-size count is a window over the same
+    partitioning the pair join shuffles on, so the guard adds no extra
+    shuffle — the count and the self-join share one hash exchange."""
+    from pyspark.sql.window import Window
+
+    blocked = names.distinct().withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    n_in_block = F.count("*").over(Window.partitionBy("block"))
+    return (
+        blocked.withColumn("_bn", n_in_block)
+        .filter(F.col("_bn") <= max_block)
+        .drop("_bn")
     )

@@ -41,8 +41,10 @@ def kafka_source_options(bootstrap: str, **overrides: str) -> dict[str, str]:
     Split out from kafka_metric_stream so the mapping is testable in a
     container with no kafka-clients jar/broker."""
     opts = dict(KAFKA_DEFAULTS)
-    opts.update(overrides)
+    # bootstrap seeds the dict BEFORE overrides so a caller-supplied
+    # kafka.bootstrap.servers override genuinely wins (ADVICE r2)
     opts["kafka.bootstrap.servers"] = bootstrap
+    opts.update(overrides)
     return opts
 
 

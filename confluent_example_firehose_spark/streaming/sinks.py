@@ -34,16 +34,13 @@ def _esc(v: object) -> str:
     )
 
 
-_NON_LABEL_COLS = (
-    "last_value",
-    "last_ts",
-    "n_events",
-    "name",
-    "component",
-    "series",
-    "labels",
-    "label_values",
-)
+# Value/bookkeeping columns, never labels. Only these are excluded in
+# the generic branch — a generic latest-value table with e.g. a `name`
+# key column keeps it as a label, else distinct series would collapse
+# into one indistinguishable line (ADVICE r2). The metric-shaped columns
+# (name/component/series/labels/label_values) are consumed structurally
+# by the METRIC_SCHEMA branch and never reach the generic path.
+_NON_LABEL_COLS = ("last_value", "last_ts", "n_events")
 
 
 def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
@@ -103,6 +100,42 @@ def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
         labels = ",".join(f'{c}="{_esc(r[c])}"' for c in key_cols)
         lines.append(f"{metric}{{{labels}}} {r['last_value']}")
     return "\n".join(lines) + "\n"
+
+
+def gateway_push_fn(
+    gateway: str, job: str, timeout_s: float = 10.0
+) -> Callable[[str, int], None]:
+    """Real PushGateway HTTP POST — the pushAdd twin
+    (PrometheusPusher.java:61-67: `gateway.pushAdd(registry, jobName)`
+    per batch). In the pushgateway protocol pushAdd is POST on
+    `/metrics/job/<job>` (PUT would be push(), replace-all-for-job);
+    the body is the rendered exposition text. Per-batch push failure is
+    logged and skipped, like the reference's endOfSet catch
+    (AbstractFirehose.java:126-130) — a flaky gateway must not kill the
+    stream."""
+    import sys
+    import urllib.parse
+    import urllib.request
+
+    base = gateway if "://" in gateway else f"http://{gateway}"
+    url = f"{base.rstrip('/')}/metrics/job/" + urllib.parse.quote(
+        job, safe=""
+    )
+
+    def push(text: str, epoch_id: int) -> None:
+        req = urllib.request.Request(
+            url,
+            data=text.encode("utf-8"),
+            method="POST",
+            headers={"Content-Type": ScrapeServer.CONTENT_TYPE},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                resp.read()
+        except Exception as e:
+            print(f"push epoch {epoch_id} failed: {e}", file=sys.stderr)
+
+    return push
 
 
 def push_sink(

@@ -232,7 +232,13 @@ def q_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         # availableNow + ProcessingTimeTimeout would keep scheduling
         # timeout-drain batches; instead run continuous micro-batches
         # and stop once evictions appear (or a hard deadline passes).
-        deadline = time.time() + 25
+        # The loop exits early on success, so the generous deadline
+        # only costs time on a genuinely stuck run (ADVICE r2: 25 s
+        # flaked on loaded boxes — 2 s TTL + timeout-drain batches can
+        # take longer to surface).
+        deadline = time.time() + int(
+            os.environ.get("FIREHOSE_TTL_SMOKE_DEADLINE_S", "60")
+        )
         while time.time() < deadline:
             n_evicted = (
                 spark.table(name).filter(F.col("evicted")).limit(1).count()

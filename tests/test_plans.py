@@ -94,6 +94,29 @@ def test_tpch_q15_parallel_global_max(spark, sf_dir, fns):
     assert "ReusedExchange" in final  # lineitem scanned/shuffled once
 
 
+def test_join_asof_no_forced_fact_broadcast(spark, sf_dir, fns):
+    """q_join_asof joins events against full `orders` — a fact table. A
+    forced F.broadcast(orders) is a driver OOM at 100 TB (VERDICT r2 #2);
+    the strategy choice belongs to AQE. Also pin the shuffle-reuse trick:
+    grouping by (join key, _lid) lets the max_by agg reuse the SMJ's hash
+    partitioning, so with broadcast disabled the agg adds NO exchange."""
+    df = fns["q_join_asof"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
+    # Pin the no-second-shuffle property with broadcast off: the only
+    # exchanges are the two join-input shuffles (events, orders).
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(fns["q_join_asof"](spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
 def test_tpch_q5_broadcasts_nation_region(spark, sf_dir, fns):
     plan = plan_of(fns["q_tpch_q5"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan

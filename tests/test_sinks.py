@@ -124,3 +124,95 @@ def test_scrape_endpoint_error_isolated(spark):
             assert resp.status == 200
     finally:
         server.close()
+
+
+class _RecordingGateway:
+    """Minimal PushGateway stand-in: records every POST body + path."""
+
+    def __init__(self) -> None:
+        import http.server
+        import threading
+
+        self.requests: list[tuple[str, str, str]] = []  # (method, path, body)
+        recorder = self.requests
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self) -> None:  # noqa: N802 (http.server API)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8")
+                recorder.append(("POST", self.path, body))
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *args: object) -> None:
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.host, self.port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def test_gateway_push_round_trip(spark):
+    """Push N epochs through the real HTTP client; the gateway must see N
+    POSTs on /metrics/job/<job>, each parseable as exposition text
+    (pushAdd twin, PrometheusPusher.java:61-67; VERDICT r2 #4)."""
+    from confluent_example_firehose_spark.streaming.sinks import gateway_push_fn
+
+    df = spark.createDataFrame([(GOLDEN_JSON,)], "value string")
+    text = to_prometheus_text(metric_latest_value_stream(parse_metrics(df)))
+    gw = _RecordingGateway()
+    try:
+        push = gateway_push_fn(f"{gw.host}:{gw.port}", "fire hose/job")
+        n_epochs = 3
+        for epoch in range(n_epochs):
+            push(text, epoch)
+        assert len(gw.requests) == n_epochs
+        for method, path, body in gw.requests:
+            assert method == "POST"
+            # job name URL-encoded into the path (space and slash)
+            assert path == "/metrics/job/fire%20hose%2Fjob"
+            samples = [
+                line
+                for line in body.strip().splitlines()
+                if not line.startswith("#")
+            ]
+            assert len(samples) == 1
+            assert float(samples[0].rsplit(" ", 1)[1]) == 47.0
+    finally:
+        gw.close()
+
+
+def test_gateway_push_failure_isolated(spark):
+    """An unreachable gateway must not raise out of the push callback —
+    the stream survives, matching the reference's endOfSet catch
+    (AbstractFirehose.java:126-130)."""
+    from confluent_example_firehose_spark.streaming.sinks import gateway_push_fn
+
+    # nothing listens on this port (bind-then-close guarantees free)
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    push = gateway_push_fn(f"127.0.0.1:{port}", "j", timeout_s=2)
+    push("x 1.0\n", 0)  # must not raise
+
+
+def test_generic_branch_keeps_name_column_as_label(spark):
+    """A generic latest-value table with a `name` key column (but not
+    the full metric shape) must keep `name` as a label — dropping it
+    would collapse distinct series (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], ["name", "last_value"]
+    )
+    text = to_prometheus_text(df)
+    assert 'name="a"' in text and 'name="b"' in text
