@@ -1,0 +1,294 @@
+"""Relational breadth extensions (SURVEY.md §2.B follow-on): SQL
+surfaces the first pass didn't cover — grouping sets with grouping
+markers, correlated EXISTS/NOT EXISTS, scalar subqueries, ordered
+string aggregation, unpivot, ntile/percent_rank/cume_dist, exact
+percentiles, and FILTER-style conditional aggregates.
+
+The reference has no SQL surface at all (its only "query" is the
+hard-coded consume loop, AbstractFirehose.java:113-142); these queries
+demonstrate engine completeness on the driver's TPC-H-ish tables.
+Several run through spark.sql(...) deliberately — the SQL front door is
+part of the engine surface, and Catalyst rewrites correlated
+subqueries into the same semi/anti/scalar-subquery joins the DataFrame
+API would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+from .relational import dsum, dsum_sql
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q_rollup_cube's rollup/cube
+    shorthands): two one-column sets plus the grand total, with
+    GROUPING() markers disambiguating real NULLs from subtotal rows.
+    Catalyst plans this as one Expand + hash agg — a single pass over
+    the fact regardless of how many sets are declared (the 100 TB
+    shape; N separate GROUP BYs would be N scans)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+    ORDER BY c_custkey
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS through the SQL front door.
+    Catalyst rewrites the pair into a left-semi and a left-anti join on
+    o_custkey (RewritePredicateSubquery) — the exact plan
+    q_join_semi_anti builds by hand, proving the two surfaces converge.
+    Scale: both rewritten joins shuffle on the customer key once; the
+    EXISTS side aggregates nothing (first-match short-circuit)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE EXISTS (
+                SELECT 1 FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter: orders within 10% of
+    the global maximum price. The threshold is max-derived (order-
+    insensitive, so bit-identical across engines — an avg would depend
+    on summation order). Catalyst executes the subquery once and
+    injects the scalar into the predicate; the fact scan then filters
+    in one pass — no join, no window, no second shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders_v)
+        ORDER BY o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))),
+                           ',') AS statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: the distinct statuses per priority,
+    key-sorted then joined — deterministic under any partitioning
+    (an unsorted string_agg would depend on arrival order, the same
+    trap as the reference's map iteration, SURVEY.md §1.4).
+    collect_set keeps per-group state bounded by the value domain, not
+    the row count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("o_orderstatus"))
+            ).alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+        SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
+        FROM part
+    )
+    ORDER BY p_partkey, attr
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): two numeric part attributes
+    melt into (key, attr, val) rows. stack is a narrow 1->n expression
+    — no shuffle, no join; the oracle's UNION ALL double-scan is
+    exactly what unpivot avoids at scale (one scan instead of one per
+    attribute)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'size', CAST(p_size AS DOUBLE), "
+                "'retailprice', p_retailprice) AS (attr, val)"
+            ),
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist over one account-balance ordering (unique-key tiebreak
+    for determinism). NOTE the unpartitioned window: correct here as a
+    demo but a single-task funnel at 100 TB — the scale version
+    partitions by a bucketing key or uses approx percentiles
+    (q_agg_quantiles); this query exists to pin the exact semantics."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           max(l_quantity) AS q_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (the companion to q_agg_quantiles'
+    approx sketch): Spark `percentile` and DuckDB `quantile_cont` both
+    define the linear-interpolation quantile, so values match. Exact
+    percentiles buffer each group's values — fine on a bounded group
+    count (3 flags here); at 100 TB with high-cardinality groups the
+    approx sketch is the right tool (its query exists alongside)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+            F.max("l_quantity").alias("q_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           count(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted,
+           {dsum_sql("CASE WHEN l_tax > 0.04 "
+                     "THEN l_extendedprice ELSE 0 END")} AS taxed_price,
+           count(*) AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER-clause counts (count_if) and a
+    CASE-guarded decimal sum in one pass. The idiomatic replacement for
+    N filtered self-joins — one scan, one partial+final agg, per-group
+    state is a handful of counters no matter the input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.count_if(F.col("l_discount") == 0.0).alias("n_undiscounted"),
+            dsum(
+                F.when(
+                    F.col("l_tax") > 0.04, F.col("l_extendedprice")
+                ).otherwise(F.lit(0.0))
+            ).alias("taxed_price"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         firehose_queries,
         multimodal_queries,
+        relational_ext_queries,
         relational_queries,
         similarity_queries,
         text_queries,

@@ -341,3 +341,100 @@ def _session_stream_run(stream: DataFrame, root: str) -> DataFrame:
         )
     )
     return _run_to_memory(sessions, root, "append")
+
+
+@register("q_stream_static_enrich", oracle=None)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join — the TRUE streaming twin of the
+    reference's LookupMapper enrichment (LookupMapper.java:20-29 via
+    AbstractPrometheusFirehose.java:48): each micro-batch of the event
+    stream joins the static customer dimension; Spark re-plans the
+    static side per batch, so a dim refresh is picked up between
+    batches (the singleton-reload twin). Broadcast keeps the stream
+    side shuffle-free — the same plan q_lookup_enrich pins for batch.
+    Emits per-segment counts over the drained stream."""
+    from ..catalog import load_table
+
+    root = _workdir()
+    stream = _staged_events(spark, sf_dir, root)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment")
+        )
+    )
+    enriched = (
+        stream.join(dim, stream["user_id"] == dim["c_custkey"], "left")
+        .withColumn("segment", F.coalesce("c_mktsegment", F.lit("UNKNOWN")))
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(enriched, root, "complete")
+    return out.orderBy("segment")
+
+
+@register("q_sink_push_http", oracle=None)
+def q_sink_push_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE push path end-to-end in one streaming run: staged
+    events -> latest-value state -> per-epoch exposition render -> real
+    HTTP POST (gateway_push_fn) against an in-process recording server
+    — the full PrometheusPusher loop (AbstractFirehose.java:113-131 +
+    PrometheusPusher.java:61-67) with no stand-ins. Emits one row per
+    received push: (push_seq, n_lines, parseable)."""
+    import http.server
+    import threading
+
+    from .sinks import gateway_push_fn, push_sink
+
+    received: list[str] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self) -> None:  # noqa: N802 (http.server API)
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n).decode("utf-8"))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *args: object) -> None:
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        root = _workdir()
+        with _few_partitions(spark):
+            stream = _staged_events(spark, sf_dir, root)
+            agg = latest_value_stream(stream)
+            host, port = server.server_address[:2]
+            push = gateway_push_fn(f"{host}:{port}", "firehose-smoke")
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda batch_df, epoch_id: push(
+                        to_prometheus_text(batch_df), epoch_id
+                    )
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        server.shutdown()
+        server.server_close()
+    schema = T.StructType(
+        [
+            T.StructField("push_seq", T.LongType()),
+            T.StructField("n_lines", T.LongType()),
+            T.StructField("parseable", T.BooleanType()),
+        ]
+    )
+    rows = []
+    for i, body in enumerate(received):
+        samples = [
+            ln for ln in body.strip().splitlines() if not ln.startswith("#")
+        ]
+        ok = all(len(ln.rsplit(" ", 1)) == 2 for ln in samples)
+        rows.append((i, len(body.splitlines()), ok))
+    return spark.createDataFrame(rows, schema)
