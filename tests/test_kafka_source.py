@@ -119,3 +119,32 @@ def test_metric_stream_path_over_injected_byte_rows(spark, tmp_path):
     assert req["component"] == "kafka"
     assert req["labels"] == ["request_type", "source", "tenant", "user"]
     assert out["response_bytes_total"]["last_value"] == 7.0
+
+
+def test_kafka_source_load_or_recorded_blocker(spark):
+    """Integration attempt for kafka_metric_stream (VERDICT r2 #7): try
+    to actually .load() the Kafka source. Two acceptable outcomes,
+    pinned so the status is always an execution trace, never a guess:
+
+    - the connector jar is present: the source must RESOLVE (schema
+      contains the binary value column our parse path consumes) even
+      though no broker is reachable — resolution is driver-side only;
+    - the jar is absent (this container ships pyspark 4.x without
+      spark-sql-kafka): the failure must be exactly the missing-data-
+      source error, i.e. an ENVIRONMENTAL blocker, not a bug in our
+      option mapping (which tests/test_kafka_source.py pins separately).
+    """
+    from confluent_example_firehose_spark.streaming.pipeline import (
+        kafka_metric_stream,
+    )
+
+    try:
+        df = kafka_metric_stream(spark, "127.0.0.1:1")
+    except Exception as e:
+        msg = str(e)
+        assert "Failed to find data source: kafka" in msg, (
+            f"unexpected failure mode (not the missing-jar blocker): {msg}"
+        )
+    else:
+        # jar present: the parsed stream must expose the metric schema
+        assert "name" in df.columns and "value" in df.columns
