@@ -1,0 +1,540 @@
+"""Training-corpus curation operators beyond the per-document scorers in
+text_queries.py: dedup-cluster resolution (connected components),
+deterministic stratified sampling, benchmark-contamination checking,
+token-window chunking, PII redaction, and Z-order layout keys.
+
+These are the remaining pieces a 100 TB pre-training pipeline runs after
+candidate generation: pairs -> clusters -> representatives, corpus ->
+language-balanced sample, corpus x eval-set -> contamination report,
+documents -> fixed-token training chunks, text -> redacted text, and
+table -> multi-dimensional file layout. Every query here is
+oracle-checked against DuckDB (the connected-components oracle is a
+recursive CTE).
+
+Reference parity note: the reference (a fixed-function Kafka->Prometheus
+consumer, /root/reference/src/main/java/io/confluent/firehose/) has no
+counterpart for any of these; they are mandated by the north-star
+extension list (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import jaccard, words
+from .dedup_queries import PAIR_CAP, bounded_pairs
+
+# ---------------------------------------------------------------------------
+# q_dedup_clusters: candidate pairs -> connected components -> clusters
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD = 0.8  # edge threshold: the corpus is heavily templated
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    `nodes` is (id), `edges` is (src, dst) DIRECTED (pass both directions
+    for an undirected graph). Returns (id, comp) where comp is the
+    minimum node id reachable from id.
+
+    Scale shape: each round is one equi-join (labels x edges, both sides
+    partitioned by the join key) + one groupBy-min — the standard
+    iterative-dataflow pattern (label propagation / hash-to-min).
+    Lineage is truncated every round with localCheckpoint(eager=True):
+    without it the plan doubles per iteration and the driver dies on
+    plan bloat long before the data is the problem. Convergence is
+    detected with a one-row aggregate: labels only ever DECREASE, so an
+    unchanged sum(comp) is exactly a fixpoint — no row-level diff join
+    needed. Rounds needed = graph diameter (near-dup graphs are dense
+    near-cliques; single digits in practice)."""
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ws
+        FROM documents
+        WHERE doc_id < {PAIR_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM w a, w b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+              >= {CLUSTER_JACCARD}
+    ),
+    e(src, dst) AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM w
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    ),
+    comp AS (
+        SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster resolution: near-dup pairs are only half the job —
+    a dedup pipeline must transitively close them into clusters and keep
+    one representative per cluster. Pairs (word-set Jaccard >= 0.8 over
+    the bounded demo window) become an undirected graph; connected
+    components assign cluster_id = min doc_id in the component.
+
+    The demo edge set is the PAIR_CAP-bounded exact-Jaccard window so
+    the DuckDB recursive-CTE oracle can verify the component assignment
+    end-to-end; at 100 TB the edges come from minhash_candidate_pairs
+    (the LSH path, already one bucket shuffle) and the iteration shape
+    here is UNCHANGED — join + groupBy-min per round with checkpointed
+    lineage (see connected_components)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_CAP)
+    ws = d.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(words("text")).alias("ws"),
+    )
+    a = ws.select(F.col("_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = ws.select(F.col("_id").alias("id_b"), F.col("ws").alias("wb"))
+    pairs = (
+        bounded_pairs(spark, PAIR_CAP)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .filter(jaccard(F.col("wa"), F.col("wb")) >= CLUSTER_JACCARD)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = ws.select(F.col("_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*")
+        .over(W.partitionBy("comp"))
+        .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_stratified: deterministic hash sampling with per-stratum rates
+# ---------------------------------------------------------------------------
+
+# Per-language keep thresholds on the first two hex digits of
+# md5('sample:' || doc_id): lexicographic compare on hex is a uniform
+# [0,1) draw, so 'en' < '1a' keeps ~26/256 = 10.2% and low-resource
+# languages keep ~77/256 = 30.1% — the standard language-rebalancing
+# sample for pre-training mixes.
+SAMPLE_THRESHOLDS = {"en": "1a", "de": "4d", "es": "4d", "fr": "4d", "zh": "4d"}
+_DEFAULT_THRESHOLD = "1a"
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, u
+    FROM (
+        SELECT doc_id, lang, source,
+               substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS u
+        FROM documents
+    )
+    WHERE u < CASE lang
+        WHEN 'en' THEN '1a' WHEN 'de' THEN '4d' WHEN 'es' THEN '4d'
+        WHEN 'fr' THEN '4d' WHEN 'zh' THEN '4d' ELSE '1a' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff a salted md5 of
+    its id falls below the stratum's threshold. Different rates per
+    language rebalance the training mix (upsample low-resource langs).
+
+    The 100 TB property: this is a pure NARROW filter — no shuffle, no
+    per-stratum sort, no count pass — and it pushes into the scan.
+    Unlike rand()-based sample(), it is reproducible across retries,
+    engines, and partitionings (no rand() anywhere in this repo), and
+    the same hash inspected by DuckDB selects the same rows. Exact-k
+    sampling needs a per-stratum sort; this threshold form is what
+    scales, and the rate converges to the target by the law of large
+    numbers."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thresh = F.lit(_DEFAULT_THRESHOLD)
+    expr = None
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(t))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(t))
+        )
+    thresh = expr.otherwise(thresh)
+    return (
+        d.withColumn("u", u)
+        .filter(F.col("u") < thresh)
+        .select("doc_id", "lang", "source", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contamination: eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+BENCH_MAX_ID = 20  # docs below this id form the held-out "benchmark" set
+SHINGLE_N = 3
+
+
+def shingle_strings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, sh) with DISTINCT word-3-gram shingle STRINGS, staged as
+    words-first projections so the split runs once per document (the
+    expression-inlining hazard documented in dedup.py — element_at over
+    a materialized words column, never a recomputed expression)."""
+    staged = df.select(
+        F.col(id_col).alias("_id"), words(text_col).alias("_w")
+    ).filter(F.size("_w") >= SHINGLE_N)
+    w = F.col("_w")
+    idx = F.sequence(F.lit(1), F.size(w) - (SHINGLE_N - 1))
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(SHINGLE_N)]
+            ),
+        )
+    )
+    return staged.select("_id", sh.alias("sh"))
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(w) - {SHINGLE_N - 2}),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+               )) AS sh
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        )
+        WHERE len(w) >= {SHINGLE_N}
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM ws WHERE doc_id < {BENCH_MAX_ID}
+    ),
+    corpus AS (SELECT doc_id, sh FROM ws WHERE doc_id >= {BENCH_MAX_ID}),
+    hits AS (
+        SELECT e.doc_id, count(*) AS n_hit
+        FROM (SELECT doc_id, unnest(sh) AS s FROM corpus) e
+        JOIN bench b USING (s)
+        GROUP BY e.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(c.sh) AS contamination
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word-3-grams that appear anywhere in the
+    held-out benchmark set (docs below BENCH_MAX_ID stand in for an
+    eval suite) — the decontamination filter every pre-training corpus
+    runs before training.
+
+    Scale shape: the benchmark shingle set is small by construction
+    (eval suites are bounded) -> distinct + BROADCAST; the corpus side
+    explodes shingles and inner-joins the broadcast set (map-side, no
+    shuffle of the corpus), then aggregates hit counts per doc — the
+    only shuffle is the per-doc count, whose key cardinality is #docs.
+    The left join back to the corpus restores zero-hit documents."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = shingle_strings(d, "doc_id", "text")
+    bench = (
+        ws.filter(F.col("_id") < BENCH_MAX_ID)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = ws.filter(F.col("_id") >= BENCH_MAX_ID)
+    hits = (
+        corpus.select(F.col("_id"), F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        corpus.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.size("sh")
+            ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chunk_documents: fixed-token training windows with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, s, s + {CHUNK_SIZE - 1})) AS BIGINT)
+               AS chunk_len,
+           md5(array_to_string(list_slice(w, s, s + {CHUNK_SIZE - 1}), ' '))
+               AS chunk_md5
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), UNNEST(range(1, len(w) + 1, {CHUNK_STRIDE})) AS t(s)
+    WHERE len(w) > 0
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: split every document into CHUNK_SIZE-token
+    windows advancing by CHUNK_STRIDE (overlapping context windows —
+    the standard sequence-packing prep for training). Emits one row per
+    chunk with its length and content digest.
+
+    Narrow plan: words materialized once, chunk starts generated with
+    sequence(), slice() per start, explode — a 1->n fan-out inside the
+    task with NO shuffle anywhere. At 100 TB this is a pure map stage
+    whose output feeds the tokenizer; Spark's columnar batch handling
+    absorbs the fan-out (compare multimodal.py's frame sampler, the
+    same shape over binary columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", words("text").alias("w")
+    ).filter(F.size("w") > 0)
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))
+    chunked = staged.select(
+        "doc_id", "w", F.explode(starts).alias("s")
+    )
+    chunk = F.slice(F.col("w"), F.col("s"), CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redact: pattern redaction with audit counts
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics under Java
+# regex (Spark) and RE2 (DuckDB): character classes and + only — no
+# lookarounds, no \\d shorthand (class semantics differ across engines).
+_EMAIL_PAT = "[a-z0-9.]+@[a-z0-9.]+"
+_NUM_PAT = "[0-9]+"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_EMAIL_PAT}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(aug, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_NUM_PAT}')) AS BIGINT) AS n_numbers,
+           md5(regexp_replace(
+               regexp_replace(aug, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_NUM_PAT}', '<NUM>', 'g')) AS redacted_md5
+    FROM (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR)
+                    AS aug
+        FROM documents
+    )
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses then digit runs, keeping
+    audit counts per document (redaction must be measurable, not
+    silent). The synthetic corpus carries no PII, so each document is
+    deterministically augmented with a synthetic contact line — BUILT
+    IDENTICALLY in both engines — before redaction; the operator
+    exercises the exact plan a real scrub runs.
+
+    Narrow plan: regexp_extract_all / regexp_replace are JVM-side
+    codegen'd string ops, no UDF, no shuffle. Order matters and is
+    pinned: emails first (they contain digit runs), then numbers —
+    verified by the audit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    d = d.select("doc_id", aug.alias("aug"))
+    no_email = F.regexp_replace("aug", _EMAIL_PAT, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(_EMAIL_PAT), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_NUM_PAT), 0))
+        .cast("long")
+        .alias("n_numbers"),
+        F.md5(F.regexp_replace(no_email, _NUM_PAT, "<NUM>")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout: Morton-interleave layout key + per-file pruning ranges
+# ---------------------------------------------------------------------------
+
+Z_BITS = 12  # 12 bits per dimension covers custkey%4096 and ~2400 days
+Z_BUCKETS = 32  # stand-in for output files of an OPTIMIZE-style rewrite
+_Z_EPOCH = "1995-01-01"
+
+
+def morton_key(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low `bits` of two non-negative ints into a Morton
+    (Z-order) key: bit i of x -> bit 2i, bit i of y -> bit 2i+1. Pure
+    integer bit ops — codegen'd, engine-exact."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(x.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(y.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def _morton_sql(xe: str, ye: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, x, y, {_morton_sql('x', 'y')} AS zkey
+        FROM (
+            SELECT o_orderkey,
+                   o_custkey % {1 << Z_BITS} AS x,
+                   date_diff('day', DATE '{_Z_EPOCH}',
+                             CAST(o_orderdate AS DATE)) AS y
+            FROM orders
+        )
+    ),
+    bucketed AS (
+        SELECT *, ntile({Z_BUCKETS}) OVER (ORDER BY zkey, o_orderkey)
+               AS bucket
+        FROM keyed
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout: interleave customer and order-date bits
+    into one sort key, split the sorted order into Z_BUCKETS "files",
+    and report each file's (custkey, day) min/max envelope — the
+    write-side layout pass (Delta/Iceberg OPTIMIZE ZORDER) that makes
+    min/max file skipping effective for BOTH dimensions at once, where
+    a single-column sort clusters only one.
+
+    The global sort is the honest cost of a layout rewrite (range
+    partitioner = sample + one shuffle); it runs once at write time and
+    every subsequent scan prunes on the recorded envelopes. The
+    envelope stats here are exactly what the file format would store as
+    per-file min/max. Integer-only math -> oracle-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << Z_BITS)).alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        ).alias("y"),
+    )
+    keyed = keyed.withColumn("zkey", morton_key(F.col("x"), F.col("y")))
+    bucketed = keyed.withColumn(
+        "bucket",
+        F.ntile(Z_BUCKETS).over(W.orderBy("zkey", "o_orderkey")),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

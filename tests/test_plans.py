@@ -131,3 +131,32 @@ def test_bucketed_join_no_shuffle_before_join(spark, sf_dir, fns):
     # post-join aggregation's — nothing shuffles into the join
     join_part = plan[: plan.index("SortMergeJoin")]
     assert "Exchange" not in join_part or plan.count("Exchange") == 1
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir, fns):
+    """Chunking is a pure 1->n map stage — any Exchange means a refactor
+    accidentally introduced a shuffle into the tokenizer feed path."""
+    plan = plan_of(fns["q_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_sample_stratified_no_shuffle(spark, sf_dir, fns):
+    """Hash-threshold sampling must stay a narrow filter (the whole
+    point vs exact-k sampling: no per-stratum sort, no count pass)."""
+    plan = plan_of(fns["q_sample_stratified"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pii_redact_no_shuffle_no_python(spark, sf_dir, fns):
+    plan = plan_of(fns["q_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # regex ops stay JVM-side
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir, fns):
+    """The eval-set side must broadcast (it is small by construction);
+    the corpus explode side must never sort-merge against it."""
+    plan = plan_of(fns["q_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
