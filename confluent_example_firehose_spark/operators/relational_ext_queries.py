@@ -292,3 +292,80 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_d, max_d
+    FROM (
+        SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_nulls,
+               count(DISTINCT l_quantity) AS n_distinct,
+               min(l_quantity) AS min_d, max(l_quantity) AS max_d
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(*) - count(l_discount),
+               count(DISTINCT l_discount), min(l_discount), max(l_discount)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag), NULL, NULL
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+               count(DISTINCT l_linestatus), NULL, NULL
+        FROM lineitem
+    )
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE ... COMPUTE STATISTICS twin):
+    row count, null count, exact distinct count, and numeric min/max for
+    a column set, emitted long-form (one row per column).
+
+    ONE scan feeds every column's stats: Catalyst plans the multi-
+    countDistinct as a single Expand + two-level aggregate, so the fact
+    is read once regardless of how many columns are profiled — the
+    oracle's N-scan UNION ALL formulation is the naive plan this query
+    exists to avoid. Stats like these drive CBO join ordering and the
+    skew diagnostics every 100 TB pipeline needs before it picks salt
+    factors and bucket counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            e
+            for c in ("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("l_quantity").alias("min_l_quantity"),
+        F.max("l_quantity").alias("max_l_quantity"),
+        F.min("l_discount").alias("min_l_discount"),
+        F.max("l_discount").alias("max_l_discount"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"min_{c}")
+                    if c in ("l_quantity", "l_discount")
+                    else F.lit(None).cast("double")
+                ).alias("min_d"),
+                (
+                    F.col(f"max_{c}")
+                    if c in ("l_quantity", "l_discount")
+                    else F.lit(None).cast("double")
+                ).alias("max_d"),
+            )
+            for c in ("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

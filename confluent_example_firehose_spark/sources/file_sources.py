@@ -156,3 +156,57 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_dpp_join",
+    oracle="""
+    SELECT od_year,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_total
+    FROM (
+        SELECT year(CAST(o_orderdate AS DATE)) AS od_year, o_totalprice
+        FROM orders
+    )
+    WHERE od_year IN (1995, 1996)
+    GROUP BY od_year
+    """,
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written partitioned
+    by order year; the join's dim side (a tiny year dimension) carries a
+    selective filter that is only known at RUNTIME to prune fact
+    partitions — Catalyst injects a dynamicpruningexpression into the
+    fact scan's PartitionFilters, so the non-matching year directories
+    are never even listed. At 100 TB this is the difference between
+    scanning 2 years and scanning 7 — and it composes with the static
+    pruning q_sink_parquet_partitioned demonstrates. (Plan test asserts
+    the dynamicpruning subquery on the scan.)
+
+    The decimal-cast sum makes the aggregate order-insensitive (double
+    summation order differs between engines); the oracle mirrors it."""
+    out = os.path.join(_tmp("firehose_dpp_"), "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.withColumn("od_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("od_year")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    years = spark.range(1992, 2011).select(
+        F.col("id").alias("dim_year"),
+        F.when(F.col("id") <= 1996, "early").otherwise("late").alias("era"),
+    )
+    dim = years.filter(F.col("era") == "early")
+    return (
+        fact.join(dim, fact.od_year == dim.dim_year)
+        .groupBy("od_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )

@@ -160,3 +160,21 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir, fns):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir, fns):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — i.e., the dim filter prunes fact partitions at
+    runtime, not after the scan."""
+    df = fns["q_dpp_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_profile_table_single_scan(spark, sf_dir, fns):
+    """All column stats must come from ONE pass over the fact (Expand +
+    multi-distinct aggregate), never one scan per column like the
+    oracle's UNION ALL formulation."""
+    plan = plan_of(fns["q_profile_table"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
