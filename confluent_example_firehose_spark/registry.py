@@ -83,10 +83,11 @@ def all_queries() -> dict[str, QuerySpec]:
     from .sources import file_sources  # noqa: F401
     from .streaming import streaming_queries  # noqa: F401
 
-    # Imported LAST: the round-3 curation additions sit at the end of
-    # the never-driver-verified block so they don't displace older
+    # Imported LAST: the round-3 additions sit at the end of the
+    # never-driver-verified block so they don't displace older
     # unverified queries from the driver's 50-entry window.
     from .operators import curation_queries  # noqa: F401
+    from .operators import timeseries_queries  # noqa: F401
 
     # Driver-priority ordering: never-driver-verified queries first (in
     # registration order), already-verified ones after, so the driver's
