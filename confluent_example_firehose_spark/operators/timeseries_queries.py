@@ -30,6 +30,32 @@ STALE_MIN = 30
 
 RATE_WINDOW_SEC = 6 * 3600  # rate() over 6-hour windows
 
+# Anomaly detection: z-score of each sample against the trailing window
+# of prior samples in the same series.
+ANOM_LOOKBACK = 20  # trailing samples in the baseline window
+ANOM_MIN_N = 10  # require this many priors before scoring
+ANOM_Z = 3.0  # |z| threshold
+
+EWMA_ALPHA = 0.2  # q_ts_ewma smoothing factor
+
+
+def _obs_key():
+    """Single lexicographic string key encoding (ts, event_id) — both
+    engines order it identically, and it fits min_by/arg_min's
+    scalar-key signature (DuckDB has no composite-key arg_min).
+    epoch micros are < 20 digits and non-negative for this data."""
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+_OBS_KEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
 
 @register(
     "q_ts_resample",
@@ -220,4 +246,162 @@ def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("delta").alias("increase"),
             (dsum("delta") / RATE_WINDOW_SEC).alias("rate_per_sec"),
         )
+    )
+
+
+@register(
+    "q_ts_downsample",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           arg_min(value, {_OBS_KEY_SQL}) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, {_OBS_KEY_SQL}) AS close,
+           count(*) AS n_samples
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — first/last/min/max per (series, hour), the
+    lossy-rollup shape every metrics store uses for retention tiers
+    (and the continuous-aggregate primitive of hypertable systems).
+
+    Plan shape: ONE partial+final hash aggregation on (series, hour) —
+    min_by/max_by carry one (key, value) pair of state per group, so
+    map-side combine collapses each task's samples before the shuffle.
+    open/close use a single lexicographic string key over
+    (ts, event_id) instead of a struct because the oracle engine's
+    arg_min is scalar-key-only; event_id uniqueness makes the pick
+    deterministic. No window, no second pass: at 100 TB this is one
+    shuffle whose width is the bucket count, not the sample count."""
+    ev = load_table(spark, sf_dir, "events")
+    k = _obs_key()
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.min_by("value", k).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", k).alias("close"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle=f"""
+    WITH scored AS (
+        SELECT event_type, ts, event_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(*) OVER w AS n_prior
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, ts, event_id, value,
+           round((value - mu) / sd, 4) AS zscore
+    FROM scored
+    WHERE n_prior >= {ANOM_MIN_N} AND sd > 0
+      AND abs((value - mu) / sd) > {ANOM_Z}
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each sample scored against
+    the mean/stddev of its own series' trailing {ANOM_LOOKBACK}
+    samples (strictly prior — the sample never contaminates its own
+    baseline); flagged when |z| > {ANOM_Z} with >= {ANOM_MIN_N}
+    priors. The streaming-monitoring twin of a PromQL
+    `abs(x - avg_over_time(..)) > 3 * stddev_over_time(..)` alert.
+
+    Plan shape: ONE shuffle on the series key for the running-frame
+    window (rows-frame avg/stddev/count computed incrementally in one
+    pass), then a narrow filter. z is rounded to 4 digits in both
+    engines so the value hash is immune to ULP-level stddev
+    differences; the >3 predicate operates on the raw double in both
+    (identical frontier)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.filter(
+        (F.col("n_prior") >= ANOM_MIN_N)
+        & (F.col("sd") > 0)
+        & (F.abs(z) > ANOM_Z)
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    SELECT event_type,
+           CAST(len(vals) AS BIGINT) AS n_samples,
+           round(list_reduce(vals,
+                 (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}),
+                 6) AS ewma
+    FROM (
+        SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY event_type
+    )
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA (alpha={EWMA_ALPHA}): the exponential smoothing
+    recurrence s_i = (1-a)*s_(i-1) + a*v_i seeded with the first
+    sample — inherently sequential per series, so it runs as ONE fold
+    over the series' time-ordered value array (collect + array_sort +
+    aggregate), not a window: Spark has no recursive window frame, and
+    a UDF would leave the JVM for arithmetic this cheap.
+
+    Plan shape: one shuffle to group the series (collect_list with
+    partial aggregation), sort + fold narrow on the reduce side. The
+    collected array is bounded by per-series sample count — the state
+    a keyed stream would hold anyway; a 100 TB deployment keys on full
+    label-set series (high cardinality, small per-series history), not
+    on this test table's 15 event_types. Both engines fold the
+    identically-ordered array with identical double ops, so the result
+    is bit-identical before the final 6-digit round."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type", F.struct("ts", "event_id", "value").alias("o")
+    )
+    grouped = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("o")).alias("obs")
+    )
+    vals = F.transform(F.col("obs"), lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return grouped.select(
+        "event_type",
+        F.size(vals).cast("long").alias("n_samples"),
+        F.round(fold, 6).alias("ewma"),
     )

@@ -70,3 +70,61 @@ def test_resample_one_shuffle(spark, sf_dir):
     plan = tsq.q_ts_resample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_downsample_ohlc_order(spark, tmp_path):
+    # Same hour, out-of-order values; open/close picked by (ts, event_id).
+    rows = [
+        ("a", _ts("2024-01-01 03:20:00"), 7.0, 2),
+        ("a", _ts("2024-01-01 03:05:00"), 2.0, 1),
+        ("a", _ts("2024-01-01 03:50:00"), 4.0, 3),
+        ("a", _ts("2024-01-01 03:50:00"), 9.0, 4),  # ts tie -> event_id
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = tsq.q_ts_downsample(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_samples"]) == (
+        2.0, 9.0, 2.0, 9.0, 4,
+    )
+
+
+def test_anomaly_planted_spike(spark, tmp_path):
+    # 30 flat-ish samples then a spike: only the spike is flagged, and
+    # never against a baseline that includes itself.
+    base = _ts("2024-01-01 00:00:00")
+    vals = [10.0 + (0.1 if i % 2 else -0.1) for i in range(30)] + [50.0]
+    rows = [
+        ("a", base + dt.timedelta(minutes=i), v, i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = tsq.q_ts_anomaly(spark, sf).collect()
+    assert [r["event_id"] for r in out] == [30]
+    assert out[0]["zscore"] > 3
+
+
+def test_ewma_fold(spark, tmp_path):
+    # s1=1.0; s2=.8*1+.2*11=3.0; s3=.8*3+.2*23=7.0
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        ("a", base + dt.timedelta(minutes=i), v, i)
+        for i, v in enumerate([1.0, 11.0, 23.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = tsq.q_ts_ewma(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["n_samples"] == 3
+    assert abs(out[0]["ewma"] - 7.0) < 1e-9
