@@ -1,0 +1,222 @@
+"""Information-retrieval scoring over `documents`: BM25 query ranking
+and TF-IDF keyword extraction — the lexical-search half of a
+training-corpus curation stack (the embedding half lives in
+similarity_queries.py). Pure DataFrame shapes: tokenize -> explode ->
+partial+final hash aggs; scores are closed-form arithmetic on integer
+counts, so both engines agree bit-for-bit up to the final round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import words
+
+# Fixed search query for q_text_bm25 (terms exist in the synthetic
+# vocabulary); BM25 constants are the standard Robertson defaults.
+BM25_QUERY = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+TFIDF_TOP_TERMS = 3  # q_text_tfidf: top terms per document
+TFIDF_DOC_LIMIT = 50  # ... for doc_id < this bound (keeps output small)
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _terms_in(terms: tuple[str, ...]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        WHERE term IN ({_terms_in(BM25_QUERY)})
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    totals AS (
+        SELECT doc_id, round(sum(s), 6) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, bm25, n_terms_hit
+    FROM totals
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query — the
+    lexical retrieval baseline every contamination / dedup / search
+    pipeline needs next to its embedding ANN.
+
+    Plan shape: tokens exploded then FILTERED to the query terms
+    BEFORE the (doc, term) shuffle, so the tf aggregation moves only
+    matching tokens — at 100 TB the shuffle width is (matching docs x
+    |query|), not the token count. df and the corpus stats (N, avgdl)
+    are tiny aggregates broadcast back onto tf; doc length is a narrow
+    size() recomputation, aggregated per doc only for the docs that
+    matched. Final top-k is a TakeOrdered, not a global sort. Scores
+    round to 6 digits before ranking so the (score, doc_id) order is
+    engine-stable; ties break on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", words("text").alias("toks"))
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        totals.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "bm25",
+            "n_terms_hit",
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id < {TFIDF_DOC_LIMIT}
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TFIDF_TOP_TERMS}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-{TFIDF_TOP_TERMS} most
+    distinctive terms per document (doc_id < {TFIDF_DOC_LIMIT} bounds
+    the output; the df statistics still come from the FULL corpus).
+
+    Plan shape: one (doc, term) shuffle for tf with map-side combine,
+    one term shuffle for document frequency (count-distinct collapses
+    to a count over the already-distinct tf keys), broadcast df back,
+    then a per-doc window for the top-k — partitioned by doc_id, so
+    the rank never sees more than one document's terms. The doc_id
+    filter sits BEFORE the join (Catalyst pushes it into the tf
+    branch), so the per-doc work is pruned early while df stays
+    corpus-wide. Scores round to 6 digits before ranking; ties break
+    on the term string — identical order both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = d.count()  # tiny scalar; a literal keeps the plan join-free
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )

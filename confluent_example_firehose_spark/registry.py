@@ -88,6 +88,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # unverified queries from the driver's 50-entry window.
     from .operators import curation_queries  # noqa: F401
     from .operators import timeseries_queries  # noqa: F401
+    from .operators import ir_queries  # noqa: F401
 
     # Driver-priority ordering: never-driver-verified queries first (in
     # registration order), already-verified ones after, so the driver's
