@@ -105,6 +105,27 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
+    # Environment snapshot: round-over-round BENCH deltas on a shared
+    # box are meaningless without the load context (r3's uniform ~2x
+    # "gain" tracked box load, not code — VERDICT r3).
+    env: dict[str, object] = {"cpus": int(cpus), "runs": runs}
+    try:
+        env["loadavg_1m"], env["loadavg_5m"], env["loadavg_15m"] = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {
+                line.split(":")[0]: int(line.split()[1])
+                for line in f
+                if ":" in line
+            }
+        env["mem_available_gib"] = round(mem["MemAvailable"] / 1048576, 1)
+    except (OSError, KeyError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -113,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": env,
             }
         )
     )

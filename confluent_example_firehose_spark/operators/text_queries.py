@@ -222,9 +222,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_words) AS total_words,
-           CAST(sum(n_stop) AS DOUBLE) / sum(n_words) AS stop_ratio,
-           CAST(sum(n_words) AS DOUBLE) / count(*) AS mean_doc_len
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(CAST(sum(n_stop) AS DOUBLE) / sum(n_words), 6) AS stop_ratio,
+           round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_doc_len
     FROM deduped
     GROUP BY lang, source
     ORDER BY lang, source
@@ -243,7 +243,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a partial+final agg over the deduped survivors. Two
     shuffles total regardless of input size. Every aggregate is an
     integer sum (ratios derived by ONE division at the end), so the
-    result is bit-identical across engines and partitionings."""
+    result is bit-identical across engines and partitionings.
+
+    Driver-red in r3 (hash only): DuckDB's un-cast sum(n_words) returns
+    HUGEINT (pandas float64) vs Spark's BIGINT, and the two ratio
+    doubles were the only unrounded doubles in the driver window —
+    fixed r4 with CAST AS BIGINT + round(..., 6) on both sides."""
     d = load_table(spark, sf_dir, "documents")
     d = d.select(
         "doc_id", "lang", "source", F.md5("text").alias("fp"),
@@ -274,11 +279,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_words"),
-            (
-                F.sum("n_stop").cast("double") / F.sum("n_words")
+            F.round(
+                F.sum("n_stop").cast("double") / F.sum("n_words"), 6
             ).alias("stop_ratio"),
-            (
-                F.sum("n_words").cast("double") / F.count("*")
+            F.round(
+                F.sum("n_words").cast("double") / F.count("*"), 6
             ).alias("mean_doc_len"),
         )
         .orderBy("lang", "source")

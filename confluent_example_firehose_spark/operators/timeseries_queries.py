@@ -306,11 +306,14 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING
         )
     )
-    SELECT event_type, ts, event_id, value,
-           round((value - mu) / sd, 4) AS zscore
-    FROM scored
+    SELECT event_type, ts, event_id, value, zscore
+    FROM (
+        SELECT event_type, ts, event_id, value, n_prior, sd,
+               round((value - mu) / sd, 4) AS zscore
+        FROM scored
+    )
     WHERE n_prior >= {ANOM_MIN_N} AND sd > 0
-      AND abs((value - mu) / sd) > {ANOM_Z}
+      AND abs(zscore) > {ANOM_Z}
     """,
 )
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,9 +327,11 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE shuffle on the series key for the running-frame
     window (rows-frame avg/stddev/count computed incrementally in one
     pass), then a narrow filter. z is rounded to 4 digits in both
-    engines so the value hash is immune to ULP-level stddev
-    differences; the >3 predicate operates on the raw double in both
-    (identical frontier)."""
+    engines BEFORE the |z| > threshold test as well as in the output,
+    so both the emitted values AND the selection frontier are quantized
+    away from ULP-level avg/stddev differences between engines (r3
+    ADVICE: a raw-double frontier could flake on a borderline
+    sample)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("event_type")
@@ -342,7 +347,7 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").over(w).alias("sd"),
         F.count("*").over(w).alias("n_prior"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
     return scored.filter(
         (F.col("n_prior") >= ANOM_MIN_N)
         & (F.col("sd") > 0)
@@ -352,7 +357,7 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "value",
-        F.round(z, 4).alias("zscore"),
+        z.alias("zscore"),
     )
 
 

@@ -731,10 +731,10 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12",
     oracle="""
     SELECT l_linestatus AS shipmode,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
@@ -750,7 +750,11 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_linestatus and "late" is l_shipdate >= o_orderdate + 60 days).
     One orders⋈lineitem shuffle join, conditional counts in a single
     partial+final agg pass — no second scan for the two priority
-    classes."""
+    classes.
+
+    Driver-red in r3 (hash only): DuckDB's un-cast CASE sums return
+    HUGEINT (pandas float64) vs Spark's BIGINT — fixed r4 with explicit
+    CAST AS BIGINT in the oracle."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")

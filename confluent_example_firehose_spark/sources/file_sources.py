@@ -85,14 +85,22 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_json",
     oracle="""
-    SELECT event_type, count(*) AS n, sum(event_id) AS sum_id
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
     FROM events
     GROUP BY event_type
+    ORDER BY event_type
     """,
 )
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + schema-pinned re-scan round trip (the same
-    from_json machinery as the firehose ingest path, file-backed)."""
+    from_json machinery as the firehose ingest path, file-backed).
+
+    Driver-red in r3 (hash only; rows+schema matched). Root cause found
+    r4: DuckDB sum(BIGINT) returns HUGEINT (arrow decimal128/pandas
+    float64) while Spark returns BIGINT — the value hash sees 123.0 vs
+    123. Fix: explicit CAST AS BIGINT in the oracle + canonical ORDER
+    BY on both sides."""
     out = os.path.join(_tmp("firehose_json_"), "events_json")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -101,9 +109,13 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).json(out)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("event_id").alias("sum_id"),
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -169,7 +181,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT year(CAST(o_orderdate AS DATE)) AS od_year, o_totalprice
         FROM orders
     )
-    WHERE od_year IN (1995, 1996)
+    WHERE od_year BETWEEN 1992 AND 1996
     GROUP BY od_year
     """,
 )
@@ -185,7 +197,11 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dynamicpruning subquery on the scan.)
 
     The decimal-cast sum makes the aggregate order-insensitive (double
-    summation order differs between engines); the oracle mirrors it."""
+    summation order differs between engines); the oracle mirrors it.
+    The oracle filter (od_year BETWEEN 1992 AND 1996) matches the dim
+    predicate era == 'early' (years 1992-1996) exactly, so the checked
+    semantics stay data-independent (r3 ADVICE: the previous IN (1995,
+    1996) only matched because the fixture had no pre-1995 orders)."""
     out = os.path.join(_tmp("firehose_dpp_"), "orders_by_year")
     orders = load_table(spark, sf_dir, "orders")
     (
