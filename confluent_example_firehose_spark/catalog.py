@@ -24,12 +24,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS) read as raw long (see
-        # session.py). Integer-divide (not float: 1.7e18 ns overflows
-        # double mantissa) to micros — exactly DuckDB's truncation, so
-        # oracle comparisons line up.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Normalize events.ts to TIMESTAMP_LTZ whatever the generator
+        # wrote (the driver regenerates testdata between rounds and has
+        # switched physical types before):
+        #  - TIMESTAMP(NANOS) reads as raw long under the nanosAsLong
+        #    session flag -> integer-divide (not float: 1.7e18 ns
+        #    overflows double mantissa) to micros, exactly DuckDB's own
+        #    truncation;
+        #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+        #    TIMESTAMP_NTZ -> cast to LTZ; the session timezone is
+        #    pinned UTC (session.py) so the wall-clock is preserved and
+        #    unix_micros()/window() downstream keep working.
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

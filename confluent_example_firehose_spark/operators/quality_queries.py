@@ -13,9 +13,225 @@ Queries are registered by import from registry.all_queries().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
 from .dedup import words
+
+# Gopher-style repetition thresholds, applied to the ROUNDED fractions
+# in BOTH engines so the decision frontier is quantized away from any
+# ULP noise (the r3 ADVICE lesson from q_ts_anomaly).
+TOP_UNIGRAM_MAX = 0.12
+TOP_BIGRAM_MAX = 0.08
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Per-document repetition stats over (doc_id, text): word count,
+    distinct-word count, top-unigram and top-bigram mass fractions, and
+    a repetition flag — the intra-document repetition rules from the
+    Gopher quality pipeline, adapted to n-grams (the corpus has no line
+    structure to measure duplicate lines against).
+
+    Scale shape: term counting is explode -> groupBy(doc_id, term) ->
+    groupBy(doc_id) — two hash aggregations whose keys ((doc, term),
+    then doc) are high-cardinality and uniformly distributed, the
+    canonical map-side-combinable shape. No window functions, no
+    Python; the n-gram construction is transform() over a materialized
+    words array (split runs once per doc — the expression-inlining
+    hazard documented in dedup.py)."""
+    staged = docs.select(
+        "doc_id", words("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    uni = (
+        staged.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    ua = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_uni"),
+        F.count("*").alias("n_distinct"),
+    )
+    w = F.col("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    bg = (
+        staged.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    ba = bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_bi"), F.sum("c").alias("n_bigrams")
+    )
+    top_uni_frac = F.round(
+        F.col("top_uni").cast("double") / F.col("n_words"), 6
+    )
+    top_bi_frac = F.round(
+        F.col("top_bi").cast("double") / F.col("n_bigrams"), 6
+    )
+    return ua.join(ba, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+        .alias("distinct_ratio"),
+        top_uni_frac.alias("top_unigram_frac"),
+        top_bi_frac.alias("top_bigram_frac"),
+        (
+            (top_uni_frac > TOP_UNIGRAM_MAX)
+            | (top_bi_frac > TOP_BIGRAM_MAX)
+        )
+        .cast("long")
+        .alias("flag_repetitive"),
+    )
+
+
+@register(
+    "q_quality_repetition",
+    oracle=f"""
+    WITH st AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        ) WHERE len(w) >= 2
+    ),
+    uni AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM st)
+        GROUP BY doc_id, t
+    ),
+    ua AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(max(c) AS BIGINT) AS top_uni,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM st
+        )
+        GROUP BY doc_id, g
+    ),
+    ba AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bg GROUP BY doc_id
+    )
+    SELECT ua.doc_id, n_words, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+           round(CAST(top_uni AS DOUBLE) / n_words, 6) AS top_unigram_frac,
+           round(CAST(top_bi AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+           CAST(round(CAST(top_uni AS DOUBLE) / n_words, 6)
+                    > {TOP_UNIGRAM_MAX}
+                OR round(CAST(top_bi AS DOUBLE) / n_bigrams, 6)
+                    > {TOP_BIGRAM_MAX} AS BIGINT) AS flag_repetitive
+    FROM ua JOIN ba USING (doc_id)
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (see repetition_profile)."""
+    return repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_quality_length_profile",
+    oracle="""
+    SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS doc_share
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+)
+def q_quality_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language: power-of-two length
+    buckets (bucket = bit-length of n_chars — pure integer/string ops,
+    engine-exact, unlike floor(log2(x)) whose ULP at exact powers of
+    two differs between libm implementations), with per-bucket count,
+    range, and the bucket's share of its language's documents.
+
+    Scale shape: one hash aggregation on (lang, bucket) — tiny key
+    space, full map-side combine — then a window over the AGGREGATED
+    frame (cardinality = langs x ~12 buckets, partitioned by lang), so
+    the window input is bounded by construction, not by data volume."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("lang", F.length(F.bin("n_chars")).cast("long").alias("bucket"),
+                 "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("chars_min"),
+            F.max("n_chars").alias("chars_max"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+    return g.select(
+        "lang", "bucket", "n_docs", "chars_min", "chars_max", "chars_sum",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("lang")),
+            6,
+        ).alias("doc_share"),
+    )
+
+
+@register(
+    "q_quality_domain_mix",
+    oracle="""
+    WITH g AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT source, lang,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS nw
+            FROM documents
+        )
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / (SELECT sum(n_tokens) FROM g), 6) AS token_share
+    FROM g
+    """,
+)
+def q_quality_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain mix audit: documents and tokens per (source, lang)
+    cell plus each cell's share of total corpus tokens — the mixing
+    table a pre-training run is configured from.
+
+    Scale shape: one hash aggregation on the tiny (source, lang) key
+    space; the corpus-total denominator comes from a one-row aggregate
+    crossJoin-broadcast onto the grouped frame (the q_text_tfidf
+    pattern) — construction stays lazy and there is no empty-partition
+    window anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", "lang", F.size(words("text")).alias("nw"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("nw").alias("n_tokens"))
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "token_share"
+        ),
+    )

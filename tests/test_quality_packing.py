@@ -1,0 +1,84 @@
+"""Unit tests for the corpus-quality (quality_queries.py) and sequence
+packing (packing_queries.py) operators on hand-built frames; the
+differential gate is tools/check_oracle.py."""
+
+from __future__ import annotations
+
+from confluent_example_firehose_spark.operators.packing_queries import (
+    BATCH_SIZE,
+    PACK_BUDGET,
+    next_fit_bins,
+    q_pack_epoch_shuffle,
+    q_pack_firstfit,
+)
+from confluent_example_firehose_spark.operators.quality_queries import (
+    repetition_profile,
+)
+
+
+def test_repetition_profile_hand_values(spark):
+    # "a a a b": 4 words, 2 distinct, top unigram a=3 -> 0.75
+    # bigrams: "a a", "a a", "a b" -> top 2/3 -> 0.666667; flagged
+    # doc 2 needs >= 15 distinct words: an all-distinct n-word doc has
+    # top_unigram_frac 1/n and top_bigram_frac 1/(n-1), which must both
+    # clear the 0.12 / 0.08 thresholds to stay unflagged
+    distinct15 = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, distinct15)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 4
+    assert r1["n_distinct"] == 2
+    assert r1["distinct_ratio"] == 0.5
+    assert r1["top_unigram_frac"] == 0.75
+    assert r1["top_bigram_frac"] == 0.666667
+    assert r1["flag_repetitive"] == 1
+    r2 = got[2]
+    assert r2["n_distinct"] == 15
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["flag_repetitive"] == 0
+
+
+def test_next_fit_respects_budget_and_order():
+    toks = [100, 100, 100, 50, 200, 300, 10]
+    bins = next_fit_bins(toks, budget=256)
+    # greedy: [100,100] | [100,50] | [200] | [300] | [10]
+    assert bins == [0, 0, 1, 1, 2, 3, 4]
+    # invariants: bin ids are non-decreasing and contiguous
+    assert bins == sorted(bins)
+    assert set(bins) == set(range(max(bins) + 1))
+    # every multi-item bin fits the budget (oversized items sit alone)
+    for b in set(bins):
+        items = [t for t, bb in zip(toks, bins) if bb == b]
+        assert sum(items) <= 256 or len(items) == 1
+
+
+def test_next_fit_zero_tokens_never_close_bins():
+    assert next_fit_bins([0, 0, 0], budget=10) == [0, 0, 0]
+    # an oversized doc lands alone; a following zero-doc joins its bin
+    assert next_fit_bins([20, 0, 5], budget=10) == [0, 1, 1]
+
+
+def test_pack_firstfit_matches_kernel_on_testdata(spark, sf_dir):
+    rows = q_pack_firstfit(spark, sf_dir).collect()
+    # per (shard, bin): fits budget unless a lone oversized doc
+    for r in rows:
+        assert r["tok_sum"] <= PACK_BUDGET or r["n_docs"] == 1
+        assert r["first_doc"] <= r["last_doc"]
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(8))
+
+
+def test_epoch_shuffle_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, q_pack_epoch_shuffle(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_pack_epoch_shuffle(spark, sf_dir).collect()))
+    assert a == b
+    # every full batch holds exactly BATCH_SIZE docs; at most one
+    # partial batch (the last) per shard
+    by_shard: dict[str, list] = {}
+    for r in a:
+        by_shard.setdefault(r[0], []).append(r)
+    for shard, batches in by_shard.items():
+        partial = [r for r in batches if r[2] != BATCH_SIZE]
+        assert len(partial) <= 1
