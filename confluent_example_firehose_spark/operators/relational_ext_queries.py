@@ -369,3 +369,136 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "q_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE cal(m, mx) AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM cal WHERE m < mx
+    ),
+    mo AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_orders
+        FROM orders GROUP BY m
+    )
+    SELECT cal.m AS month,
+           CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(mo.n_orders IS NULL AS BIGINT) AS is_gap
+    FROM cal LEFT JOIN mo ON mo.m = cal.m
+    """,
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) date scaffold: generate
+    every month between the first and last order date, then left-join
+    monthly order counts so EMPTY months surface as explicit gap rows —
+    the standard gap-filling scaffold a reporting layer builds (a plain
+    GROUP BY can only show months that have data). The max bound rides
+    along as a column because Spark doesn't allow a correlated scalar
+    subquery in the recursive term.
+
+    Scale shape: the recursion is a LINEAR ladder over the calendar —
+    one row per month, bounded by the date span (~7 years = ~84 levels,
+    under the default 100-level limit), never by data volume; the data
+    side is one map-side-combinable monthly aggregate, and the join of
+    calendar x months is broadcast-sized by construction. UNION
+    (distinct) recursion — graph closure — is not yet supported by
+    Spark ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]); iterative closure
+    stays on the dataflow path (connected_components)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(m, mx) AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+            FROM orders_v
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx
+            FROM cal WHERE m < mx
+        ),
+        mo AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders
+            FROM orders_v GROUP BY m
+        )
+        SELECT cal.m AS month,
+               CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(mo.n_orders IS NULL AS BIGINT) AS is_gap
+        FROM cal LEFT JOIN mo ON mo.m = cal.m
+        """
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / (sqrt(CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                    * sqrt(CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))),
+                 6) AS corr_xy
+    FROM g
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation between event value (exact cents)
+    and the JSON prop k — computed from EXACT integer co-moment sums
+    (n, Sx, Sy, Sxy, Sxx, Syy), with doubles entering only in the final
+    closed-form expression. Built-in corr() folds doubles in partition
+    order and is not reproducible across engines or runs; this shape is
+    the order-independent way to do distributed correlation (and the
+    co-moment sums merge associatively, so it re-aggregates like
+    q_partial_reagg). At extreme scale the squared-sum magnitudes
+    outgrow BIGINT (~1e11 rows at these value ranges) — the production
+    variant swaps the sums to DECIMAL(38,0); the shape is unchanged.
+
+    Scale shape: one map-side-combinable hash aggregation on a tiny key
+    space; the correlation math runs on the aggregated rows."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    g = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    mx, my = sx.cast("double") / n, sy.cast("double") / n
+    cov = sxy.cast("double") / n - mx * my
+    vx = sxx.cast("double") / n - mx * mx
+    vy = syy.cast("double") / n - my * my
+    return g.select(
+        "event_type",
+        "n",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_xy"),
+    )

@@ -226,3 +226,42 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_total"),
         )
     )
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-scan round trip (zlib, the warehouse default) —
+    the remaining columnar format Spark ships a vectorized reader for.
+    The aggregate over the re-scan must hash-match an oracle computed
+    from the ORIGINAL parquet, proving type fidelity (longs, doubles,
+    strings) across the format boundary. Timestamps are excluded: ORC
+    stores them zone-shifted relative to parquet's instant semantics,
+    and a format round trip must not depend on session-zone luck.
+
+    Scale shape: identical to the parquet path — ORC predicate pushdown
+    and column pruning go through the same DataSource V1 scan node; the
+    aggregate is map-side combinable."""
+    out = os.path.join(_tmp("firehose_orc_"), "events_orc")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

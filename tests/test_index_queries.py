@@ -120,3 +120,47 @@ def test_partial_reagg_two_level_equals_direct(spark_sf):
         for r in direct.collect()
     }
     assert m == d
+
+
+def test_recursive_calendar_is_contiguous(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_recursive_calendar,
+    )
+
+    rows = sorted(
+        q_recursive_calendar(spark, sf_dir).collect(), key=lambda r: r["month"]
+    )
+    months = [r["month"] for r in rows]
+    # contiguous month ladder: every step is exactly +1 month
+    for a, b in zip(months, months[1:]):
+        assert (b.year, b.month) == (
+            (a.year + 1, 1) if a.month == 12 else (a.year, a.month + 1)
+        )
+    assert all((r["n_orders"] == 0) == (r["is_gap"] == 1) for r in rows)
+
+
+def test_corr_stats_bounded(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_corr_stats,
+    )
+
+    rows = q_corr_stats(spark, sf_dir).collect()
+    assert rows and all(abs(r["corr_xy"]) <= 1.0 for r in rows)
+
+
+def test_scan_orc_round_trip_counts(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.sources.file_sources import q_scan_orc
+
+    got = {r["event_type"]: r["n"] for r in q_scan_orc(spark, sf_dir).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
