@@ -502,3 +502,194 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_xy"),
     )
+
+
+@register(
+    "q_integrity_audit",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_bad
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+    UNION ALL
+    SELECT 'customer_null_name',
+           (SELECT count(*) FROM customer WHERE c_name IS NULL)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation audit (the data-quality gate a pipeline
+    runs before publishing a table version): referential integrity via
+    anti joins (orders->customer, lineitem->orders), key uniqueness via
+    count-minus-distinct, null and domain checks — one row per check,
+    zero means clean.
+
+    Scale shape: each FK check is a left-anti join that AQE broadcasts
+    when the dimension fits (customer/orders here) and shuffles
+    otherwise; the uniqueness check is a map-side-combinable count per
+    key. The five checks share scans where Catalyst can (orders feeds
+    two) and the result is five rows — this is the shape of dbt-style
+    'expectations' at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df_cnt: DataFrame) -> DataFrame:
+        return df_cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+        )
+
+    orphan_orders = one(
+        "orders_orphan_custkey",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("n_bad")
+        ),
+    )
+    orphan_items = one(
+        "lineitem_orphan_orderkey",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count("*").alias("n_bad")
+        ),
+    )
+    dup_keys = one(
+        "orders_dup_orderkey",
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_bad")
+        ),
+    )
+    null_names = one(
+        "customer_null_name",
+        c.filter(F.col("c_name").isNull()).agg(F.count("*").alias("n_bad")),
+    )
+    bad_qty = one(
+        "lineitem_nonpositive_qty",
+        li.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n_bad")),
+    )
+    return (
+        orphan_orders.unionByName(orphan_items)
+        .unionByName(dup_keys)
+        .unionByName(null_names)
+        .unionByName(bad_qty)
+    )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+    WITH y AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY yr
+    )
+    SELECT yr, n_orders, rev_cents,
+           CAST(lag(rev_cents) OVER (ORDER BY yr) AS BIGINT)
+               AS prev_rev_cents,
+           round(CASE WHEN lag(rev_cents) OVER (ORDER BY yr) IS NULL
+                      THEN NULL
+                      ELSE (CAST(rev_cents AS DOUBLE)
+                            - lag(rev_cents) OVER (ORDER BY yr))
+                           / lag(rev_cents) OVER (ORDER BY yr) END,
+                 6) AS yoy_growth
+    FROM y
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly exact-cent revenue with a
+    lag window producing each year's growth rate — the canonical
+    reporting self-comparison, done with ONE window instead of a
+    self-join.
+
+    Scale shape: the heavy work is a map-side-combinable aggregate to
+    ~7 rows (one per year); the lag window then runs over those 7 rows.
+    An UNPARTITIONED window over an aggregated-to-tiny frame is the one
+    place a global window is legitimate — the input is bounded by the
+    calendar, not the data (contrast q_text_bm25's r3 rank-before-limit
+    bug, where the global window saw the full candidate set)."""
+    o = load_table(spark, sf_dir, "orders")
+    y = (
+        o.select(
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return y.select(
+        "yr",
+        "n_orders",
+        "rev_cents",
+        prev.cast("long").alias("prev_rev_cents"),
+        F.round(
+            (F.col("rev_cents").cast("double") - prev) / prev, 6
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "q_window_range_interval",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_1h,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    per user, the trailing-1-hour event count and exact-cent value sum
+    at every event — the continuous sliding-window analytic that
+    tumbling/sliding WINDOW aggregation (q_window_sliding) only
+    approximates at fixed slide boundaries. Spark's DataFrame API has
+    no interval-RANGE frame; rangeBetween takes the interval in SECONDS
+    over a cast-to-long ordering column — same frame semantics as the
+    oracle's INTERVAL syntax. Sums are exact cents (a double sum over a
+    sliding frame is evaluation-order-dependent).
+
+    Scale shape: one shuffle on user_id (the partition key), then a
+    per-partition ordered scan with a two-pointer frame — the window
+    never sees more than one user's history, and the user_id < 50
+    predicate is pushed to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("cents_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )

@@ -164,3 +164,33 @@ def test_scan_orc_round_trip_counts(spark_sf):
         .collect()
     }
     assert got == want
+
+
+def test_integrity_audit_clean_testdata(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_integrity_audit,
+    )
+
+    rows = {r["check_name"]: r["n_bad"] for r in q_integrity_audit(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders_orphan_custkey", "lineitem_orphan_orderkey",
+        "orders_dup_orderkey", "customer_null_name",
+        "lineitem_nonpositive_qty",
+    }
+    # driver testdata is referentially clean; a regression here means
+    # the checks themselves broke (they must read 0 on clean data)
+    assert all(v == 0 for v in rows.values())
+
+
+def test_range_interval_window_frame(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_window_range_interval,
+    )
+
+    df = q_window_range_interval(spark, sf_dir)
+    rows = df.filter(F.col("user_id") == df.first()["user_id"]).collect()
+    # frame is trailing: every count >= 1 (current row) and the cents
+    # sum includes the current row's cents
+    assert all(r["n_1h"] >= 1 for r in rows)
