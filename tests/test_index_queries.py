@@ -194,3 +194,42 @@ def test_range_interval_window_frame(spark_sf):
     # frame is trailing: every count >= 1 (current row) and the cents
     # sum includes the current row's cents
     assert all(r["n_1h"] >= 1 for r in rows)
+
+
+def test_funnel_monotone(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.analytics_queries import (
+        q_funnel,
+    )
+
+    r = q_funnel(spark, sf_dir).first()
+    assert r["n_click"] >= r["n_click_view"] >= r["n_click_view_purchase"]
+    assert 0 <= r["conv_1_2"] <= 1 and 0 <= r["conv_2_3"] <= 1
+
+
+def test_cohort_retention_day0_full(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.analytics_queries import (
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    day0 = [r for r in rows if r["day_n"] == 0]
+    # day 0 retention is 1.0 by construction (first-seen day is active)
+    assert day0 and all(r["retention"] == 1.0 for r in day0)
+    assert all(r["n_active"] <= r["cohort_size"] for r in rows)
+
+
+def test_group_sample_exactly_k(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.analytics_queries import (
+        GROUP_SAMPLE_K,
+        q_group_sample,
+    )
+
+    rows = q_group_sample(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, GROUP_SAMPLE_K + 1))
+               for v in by_lang.values())
