@@ -693,3 +693,100 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents_1h"),
         F.count("*").over(w).cast("long").alias("n_1h"),
     )
+
+
+@register(
+    "q_scd2_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, 1 AS version,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, 2 AS version,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 10000
+                   AS acctbal_cents
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    hist AS (
+        SELECT * FROM cur UNION ALL SELECT * FROM upd
+    )
+    SELECT c_custkey, CAST(version AS BIGINT) AS version, acctbal_cents,
+           CAST(lead(version) OVER (
+               PARTITION BY c_custkey ORDER BY version) AS BIGINT)
+               AS superseded_by,
+           CAST(lead(version) OVER (
+               PARTITION BY c_custkey ORDER BY version) IS NULL
+               AS BIGINT) AS is_current
+    FROM hist
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 MERGE twin without a table format: apply a change
+    set (10% of customers get +100.00) onto the current dimension as
+    history rows — old versions get `superseded_by`, the open row is
+    flagged current. This is `MERGE INTO ... WHEN MATCHED` re-expressed
+    as union + per-key version window, the way an engine without
+    ACID-table support (no Delta/Iceberg in this container) runs
+    dimension maintenance; the write side would then overwrite the
+    dimension snapshot atomically (q_sink_foreachbatch's idempotent
+    directory pattern).
+
+    Scale shape: ONE shuffle on c_custkey shared by the window; the
+    change set unions in before the shuffle so matched and unmatched
+    keys flow through the same partitioning. Balances are exact cents."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cur = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        cents.alias("acctbal_cents"),
+    )
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        (cents + 10000).alias("acctbal_cents"),
+    )
+    hist = cur.unionByName(upd)
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "c_custkey",
+        F.col("version").cast("long").alias("version"),
+        "acctbal_cents",
+        nxt.cast("long").alias("superseded_by"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where AQE would default to sort-merge — the right
+    call when one side is far smaller than the other but too big to
+    broadcast (hash-table build beats sorting BOTH sides; no spillable
+    sort). The oracle pins that strategy choice never changes results;
+    the plan test pins that the hint actually took effect.
+
+    Scale shape: same single co-partitioned shuffle as SMJ, minus the
+    two sorts. At 100 TB this is the standard fact-to-medium-dim join
+    once the dim outgrows the broadcast threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )

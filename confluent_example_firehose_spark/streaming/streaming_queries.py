@@ -438,3 +438,49 @@ def q_sink_push_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = all(len(ln.rsplit(" ", 1)) == 2 for ln in samples)
         rows.append((i, len(body.splitlines()), ok))
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q_sink_foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent foreachBatch parquet sink — the exactly-once custom
+    sink pattern: each micro-batch writes to its own batch_id=N
+    directory with mode('overwrite'), so a replayed batch (restart
+    between write and commit) rewrites the SAME directory instead of
+    duplicating rows. After the drain, the directory tree is read back
+    and aggregated; the hash match against the ORIGINAL events table
+    proves no batch was lost or double-counted across the whole
+    stream->sink->rescan loop.
+
+    Scale shape: per-batch writes are append-partition-granular (the
+    Delta/Iceberg MERGE-free idempotency baseline); the re-scan prunes
+    nothing here deliberately — it must see every batch exactly once."""
+    root = _workdir()
+    out = os.path.join(root, "sink")
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )

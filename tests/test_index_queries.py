@@ -233,3 +233,34 @@ def test_group_sample_exactly_k(spark_sf):
         by_lang.setdefault(r["lang"], []).append(r["rk"])
     assert all(sorted(v) == list(range(1, GROUP_SAMPLE_K + 1))
                for v in by_lang.values())
+
+
+def test_shuffle_hash_hint_takes_effect(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_join_shuffle_hash,
+    )
+
+    plan = executed_plan(q_join_shuffle_hash(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_one_open_version_per_key(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_scd2_merge,
+    )
+
+    rows = q_scd2_merge(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for k, vs in by_key.items():
+        opens = [r for r in vs if r["is_current"] == 1]
+        assert len(opens) == 1  # exactly one current row per key
+        assert opens[0]["version"] == max(r["version"] for r in vs)
+        if len(vs) == 2:  # updated key: v1 superseded by v2
+            v1 = next(r for r in vs if r["version"] == 1)
+            assert v1["superseded_by"] == 2
+            assert k % 10 == 0
