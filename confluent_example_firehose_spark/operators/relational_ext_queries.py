@@ -790,3 +790,92 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL)
+               AS n_null_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured ingestion (Spark 4): props parses ONCE
+    into the binary variant encoding, then typed paths are extracted
+    with try_variant_get — the schema-on-read path that replaces
+    repeated get_json_object string re-parsing (each get_json_object
+    call re-parses the JSON text; variant decodes field offsets).
+
+    Scale shape: parse + extract are narrow codegen'd expressions
+    feeding a map-side-combinable aggregate; at 100 TB the win is
+    parsing each payload once regardless of how many fields downstream
+    operators pull, and storing variant columns keeps them prunable."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).withColumn("k", F.try_variant_get("v", "$.k", "long"))
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+    )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r,
+    LATERAL (
+        SELECT n.n_name, count(*) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT: the top-2
+    nations by customer count within EACH region — the per-row-subquery
+    SQL surface (Spark 4 LATERAL). Catalyst decorrelates this into the
+    same join + partitioned-rank plan the DataFrame window API writes
+    by hand (q_topk), proving the two front doors converge; the (count
+    desc, name) order is total, so the LIMIT'd row set is
+    deterministic.
+
+    Scale shape: after decorrelation the heavy work is one
+    customer-per-nation count (map-side combinable) and a rank
+    partitioned by region — never a global window; region/nation are
+    broadcast-sized."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region_v r,
+        LATERAL (
+            SELECT n.n_name, count(*) AS n_customers
+            FROM nation_v n JOIN customer_v c
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name
+            LIMIT 2
+        ) t
+        """
+    )

@@ -265,3 +265,95 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + re-scan round trip (Spark 4 built-in `xml`
+    format): a bounded event slice serializes to <row> elements and
+    reads back with an explicit schema; the aggregate must hash-match
+    the ORIGINAL parquet, proving the text round trip loses nothing
+    (longs, doubles, strings). The slice is bounded (event_id < 2000)
+    because XML is a fixture/interchange format, not a 100 TB scan
+    path — and the predicate pushes to the parquet side, not the XML
+    side (XML scans parse every row; the plan keeps the heavy filter
+    before the sink)."""
+    out = os.path.join(_tmp("firehose_xml_"), "events_xml")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    ev.write.format("xml").option("rowTag", "event").mode("overwrite").save(
+        out
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
+BINARY_CAP = 50  # files staged for the binaryFile scan
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle=f"""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id < {BINARY_CAP}
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the opaque-payload ingestion path the
+    multimodal operators (operators/multimodal.py) consume: each
+    document's text is staged as a standalone .bin file, read back via
+    the binaryFile format (path, length, content), keyed by parsing the
+    doc id out of the file path, and fingerprinted with md5 over the
+    raw bytes. The oracle recomputes md5/octet_length from the source
+    table — byte-level fidelity through the file boundary.
+
+    Scale shape: binaryFile lists files in parallel and streams each
+    as one row — the right source for image/audio blobs; the per-file
+    md5 is a narrow map. The stage is capped at {BINARY_CAP} files (a
+    fixture write from the driver, one file per task is the real
+    layout)."""
+    root = _tmp("firehose_bin_")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_CAP)
+        .select("doc_id", "text")
+    )
+    for row in d.collect():  # bounded by BINARY_CAP: fixture staging,
+        # not a data path — the query under test is the READ below
+        with open(
+            os.path.join(root, f"doc_{row['doc_id']}.bin"), "wb"
+        ) as f:
+            f.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(root + "/doc_*.bin")
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
