@@ -879,3 +879,90 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    aggregation as a first-class aggregate — the standard-SQL spelling
+    of what q_string_agg builds from concat_ws(array_sort(...)). The
+    WITHIN GROUP order makes the concatenation deterministic, so it
+    hash-matches DuckDB's string_agg(... ORDER BY).
+
+    Scale shape: an ordered aggregate cannot partially combine the
+    string; Spark collects the group's values and sorts per group —
+    fine for bounded groups (5 nations/region), the documented trade vs
+    q_string_agg's sortable-array form for big groups."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations
+        FROM region_v r JOIN nation_v n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pr_key
+        FROM orders
+    ),
+    d AS (
+        SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS pr_key,
+               COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT-BUCKET')
+                   AS bucket_name
+        FROM orders
+    )
+    SELECT d.bucket_name, count(*) AS n_orders
+    FROM o JOIN d ON o.pr_key IS NOT DISTINCT FROM d.pr_key
+    GROUP BY d.bucket_name
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    join each other instead of silently dropping — the semantics a
+    dimension join needs when NULL is a real 'unknown' bucket (here
+    1-URGENT is nulled into that bucket). A plain equi-join would lose
+    every NULL-keyed row; the count per bucket proves they flowed
+    through.
+
+    Scale shape: <=> is still hash-joinable (NULL hashes to one
+    partition — a skew hazard if the unknown bucket dominates; salting
+    applies as usual); the dim side is distinct-collapsed and
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+            "pr_key"
+        ),
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+                "pr_key"
+            )
+        )
+        .distinct()
+        .select(
+            "pr_key",
+            F.coalesce(F.col("pr_key"), F.lit("URGENT-BUCKET")).alias(
+                "bucket_name"
+            ),
+        )
+    )
+    j = o.join(F.broadcast(d), o.pr_key.eqNullSafe(d.pr_key))
+    return j.groupBy("bucket_name").agg(F.count("*").alias("n_orders"))

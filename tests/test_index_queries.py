@@ -264,3 +264,36 @@ def test_scd2_one_open_version_per_key(spark_sf):
             v1 = next(r for r in vs if r["version"] == 1)
             assert v1["superseded_by"] == 2
             assert k % 10 == 0
+
+
+def test_listagg_matches_manual_ordered_agg(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_listagg,
+    )
+
+    rows = {r["r_name"]: r["nations"] for r in q_listagg(spark, sf_dir).collect()}
+    assert all("," in v for v in rows.values())
+    # WITHIN GROUP order: comma-joined names are sorted
+    for v in rows.values():
+        parts = v.split(",")
+        assert parts == sorted(parts)
+
+
+def test_nullsafe_join_keeps_null_bucket(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.relational_ext_queries import (
+        q_join_nullsafe,
+    )
+
+    rows = {r["bucket_name"]: r["n_orders"] for r in q_join_nullsafe(spark, sf_dir).collect()}
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    # the NULLed bucket must survive the join with its full count
+    assert rows.get("URGENT-BUCKET") == urgent
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(rows.values()) == total
