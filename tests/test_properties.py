@@ -149,3 +149,56 @@ def test_lookup_enrich_identity_fallback(spark):
         ).collect()
     }
     assert out == {1: "nice_a", 2: "raw_b"}
+
+
+bin_items = st.lists(st.integers(0, 40), min_size=1, max_size=30)
+
+
+@settings(**_SETTINGS)
+@given(toks=bin_items, budget=st.integers(5, 60))
+def test_next_fit_bins_invariants(toks, budget):
+    from confluent_example_firehose_spark.operators.packing_queries import (
+        next_fit_bins,
+    )
+
+    bins = next_fit_bins(toks, budget=budget)
+    assert len(bins) == len(toks)
+    # bin ids are a nondecreasing 0-based run without gaps
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # per-bin fill: within budget unless the bin holds a single
+    # OVERSIZED item (zero-token docs don't consume budget, so they may
+    # share the oversized item's bin); and a closed bin could not have
+    # accepted its successor
+    fills: dict[int, int] = {}
+    nonzero: dict[int, int] = {}
+    for t, b in zip(toks, bins):
+        fills[b] = fills.get(b, 0) + t
+        nonzero[b] = nonzero.get(b, 0) + (1 if t > 0 else 0)
+    for b, fill in fills.items():
+        assert fill <= budget or nonzero[b] == 1
+    for (t, b_prev), b_next in zip(zip(toks[1:], bins), bins[1:]):
+        if b_next != b_prev:  # the item that opened a new bin...
+            assert fills[b_prev] + t > budget  # ...would have overflowed
+
+
+@settings(**_SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_codes_model(vec):
+    # model of q_embed_quantize's kernel math on arbitrary vectors
+    mn, mx = min(vec), max(vec)
+    scale = 1.0 if mx == mn else mx - mn
+    codes = [round((x - mn) * 255 / scale) for x in vec]
+    assert all(0 <= c <= 255 for c in codes)
+    if mx == mn:
+        assert set(codes) == {0}
+    else:
+        # extremes map to the rail codes
+        assert codes[vec.index(mn)] == 0
+        assert codes[vec.index(mx)] == 255
