@@ -1,0 +1,346 @@
+"""Statistical scoring operators: corpus-frequency fluency scoring,
+closed-form OLS trend fitting, label-centroid separability, and BPE
+pair statistics — the model-adjacent measurements a training pipeline
+computes with exact-arithmetic determinism.
+
+Determinism rule used throughout (the q_corr_stats pattern): every
+accumulation runs on exact integers (counts, fixed-point values,
+co-moment sums), doubles enter only in the final closed-form
+expression, so Spark and DuckDB are bit-identical regardless of
+partitioning/order. Log-probability (perplexity) scoring is
+deliberately replaced by relative-frequency scoring: ln() is a libm
+call whose last ULP differs between the JVM and C runtimes, and no
+amount of rounding makes a transcendental's boundary cases
+engine-portable; mean relative bigram frequency ranks documents the
+same direction with integer-exact math.
+
+No reference twin (fixed-function consumer); north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import words
+
+BPE_TOPK = 20
+EMB_FIX = 1000  # fixed-point scale for centroid sums
+
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_BIGRAMS_SQL = (
+    "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])"
+)
+
+
+@register(
+    "q_lm_commonness",
+    oracle=f"""
+    WITH st AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ),
+    inst AS (
+        SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram
+        FROM st WHERE len(w) >= 2
+    ),
+    corpus AS (
+        SELECT gram, count(*) AS cnt FROM inst GROUP BY gram
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM corpus)
+    SELECT i.doc_id, count(*) AS n_bigrams,
+           CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
+           round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 6) AS mean_cnt,
+           round(CAST(sum(c.cnt) AS DOUBLE) * 1000000
+                 / (count(*) * (SELECT total FROM tot)), 6) AS rel_ppm
+    FROM inst i JOIN corpus c ON c.gram = i.gram
+    GROUP BY i.doc_id
+    """,
+)
+def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency score (the deterministic stand-in for
+    CCNet-style LM perplexity filtering): each document's mean corpus
+    frequency of its bigram INSTANCES — template/boilerplate text made
+    of common bigrams scores high, out-of-distribution junk scores low,
+    the same ordering signal a small LM gives, with integer-exact math
+    (see module docstring for why not log-probabilities).
+
+    Scale shape: corpus counts are one map-side-combinable hash agg;
+    the instance⋈corpus join shuffles on gram (stopword grams are the
+    heavy keys, but the count side is one row per gram — classic
+    hash-join fan-out, no blowup); the per-doc aggregate reuses the
+    doc_id key. Total is a broadcast one-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    w = F.col("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    inst = st.select("doc_id", F.explode(grams).alias("gram"))
+    corpus = inst.groupBy("gram").agg(F.count("*").alias("cnt"))
+    tot = corpus.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        inst.join(corpus, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("freq_sum"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("freq_sum").cast("long").alias("freq_sum"),
+        F.round(
+            F.col("freq_sum").cast("double") / F.col("n_bigrams"), 6
+        ).alias("mean_cnt"),
+        F.round(
+            F.col("freq_sum").cast("double")
+            * 1_000_000
+            / (F.col("n_bigrams") * F.col("total")),
+            6,
+        ).alias("rel_ppm"),
+    )
+
+
+@register(
+    "q_trend_fit",
+    oracle="""
+    WITH b AS (SELECT min(epoch_us(ts)) AS min_us FROM events),
+    t AS (
+        SELECT event_type,
+               (epoch_us(ts) - (SELECT min_us FROM b)) // 3600000000
+                   AS x_hr,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x_hr) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x_hr * y) AS BIGINT) AS sxy,
+               CAST(sum(x_hr * x_hr) AS BIGINT) AS sxx
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / nullif(CAST(sxx AS DOUBLE) / n
+                          - (CAST(sx AS DOUBLE) / n)
+                            * (CAST(sx AS DOUBLE) / n), 0),
+                 6) AS slope_cents_per_hr,
+           round(CAST(sy AS DOUBLE) / n
+                 - ((CAST(sxy AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                    / nullif(CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (CAST(sx AS DOUBLE) / n), 0))
+                   * (CAST(sx AS DOUBLE) / n),
+                 6) AS intercept_cents
+    FROM g
+    """,
+)
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event type: value (exact cents) versus
+    hours since the corpus start, slope and intercept derived from
+    exact integer co-moment sums — distributed linear regression the
+    order-independent way (same pattern as q_corr_stats; a chained
+    float fold would be partition-order-dependent). Hour granularity
+    keeps x*x sums within BIGINT headroom for ~1e9-row groups; beyond
+    that the sums swap to DECIMAL(38,0), shape unchanged.
+
+    Scale shape: the global min timestamp is one broadcast scalar; the
+    co-moments are one map-side-combinable aggregate on a tiny key."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("min_us"))
+    t = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.expr("(unix_micros(ts) - min_us) div 3600000000").alias("x_hr"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x_hr").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x_hr") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x_hr") * F.col("x_hr")).alias("sxx"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx").cast("double") / n, F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * my
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    slope = cov / F.nullif(vx, F.lit(0.0))
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hr"),
+        F.round(my - slope * mx, 6).alias("intercept_cents"),
+    )
+
+
+@register(
+    "q_label_centroids",
+    oracle=f"""
+    WITH u AS (
+        SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> {{'pos': i,
+                          'val': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                            * {EMB_FIX}) AS BIGINT)}}))
+                   AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT CAST(label AS BIGINT) AS label, e.pos AS pos,
+               CAST(sum(e.val) AS BIGINT) AS s
+        FROM u GROUP BY label, e.pos
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot_ab
+        FROM s a JOIN s b ON a.pos = b.pos AND a.label <= b.label
+        GROUP BY a.label, b.label
+    ),
+    norms AS (
+        SELECT label_a AS label, dot_ab AS aa FROM dots
+        WHERE label_a = label_b
+    )
+    SELECT d.label_a, d.label_b,
+           round(CAST(d.dot_ab AS DOUBLE)
+                 / (sqrt(CAST(na.aa AS DOUBLE))
+                    * sqrt(CAST(nb.aa AS DOUBLE))), 6) AS centroid_cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    WHERE d.label_a < d.label_b
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: cosine between per-label embedding
+    centroids for every label pair — the cheap embedding-space health
+    check (collapsed classes → cosines near 1) run before training a
+    classifier head. Centroid sums are fixed-point integers
+    (round(x*{EMB_FIX})), dot products are exact integer sums (cosine
+    is scale-invariant, so the un-normalized sums ARE the centroids for
+    this purpose), and doubles appear only under the final sqrt.
+    BIGINT headroom holds to ~1e5 vectors/label at this scale factor;
+    past that the sums swap to DECIMAL(38,0).
+
+    Scale shape: posexplode → (label, pos) hash agg is one shuffle of
+    n_vectors x dims rows with full map-side combine; the pair join
+    runs on the labels x dims aggregate (bounded by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * EMB_FIX).cast("long"),
+            )
+        ).alias("pos0", "val"),
+    )
+    s = (
+        u.select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    a = s.select(
+        F.col("label").alias("label_a"),
+        F.col("pos"),
+        F.col("s").alias("sa"),
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (a.pos == b.pos_b) & (a.label_a <= b.label_b),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot_ab"))
+    )
+    norms = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("label"), F.col("dot_ab").alias("aa")
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("aa").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("aa").alias("nb")
+    )
+    return (
+        dots.filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot_ab").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, i, 2))) AS pair
+        FROM w WHERE length(word) >= 2
+    ),
+    c AS (
+        SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT {BPE_TOPK}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+               AS rank,
+           pair, cnt
+    FROM c
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training step 1: the adjacent character-pair frequency table
+    over in-word positions — the statistic byte-pair-encoding greedily
+    merges on. Top {BPE_TOPK} pairs by (count desc, pair asc): a total
+    order, so the LIMIT'd set is deterministic.
+
+    Scale shape: two explodes (words, then in-word char pairs) feeding
+    one map-side-combinable count; top-K is orderBy().limit() =
+    TakeOrderedAndProject (the r3 lesson: never a global window over
+    the full pair vocabulary); the rank window runs on {BPE_TOPK}
+    surviving rows."""
+    d = load_table(spark, sf_dir, "documents")
+    wtab = d.select(F.explode(words("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    c = (
+        wtab.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOPK)
+    )
+    rank = F.row_number().over(W.orderBy(F.desc("cnt"), "pair"))
+    return c.select(rank.cast("long").alias("rank"), "pair", "cnt")

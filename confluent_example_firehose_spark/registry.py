@@ -116,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import index_queries  # noqa: F401
     from .sources import pysource  # noqa: F401
     from .operators import analytics_queries  # noqa: F401
+    from .operators import scoring_queries  # noqa: F401
 
     # Driver-priority ordering: the explicit _PRIORITY head (r3 reds +
     # never-checked r3 additions), then any other never-driver-verified

@@ -297,3 +297,54 @@ def test_nullsafe_join_keeps_null_bucket(spark_sf):
     assert rows.get("URGENT-BUCKET") == urgent
     total = load_table(spark, sf_dir, "orders").count()
     assert sum(rows.values()) == total
+
+
+def test_label_centroids_bounded_and_complete(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.scoring_queries import (
+        q_label_centroids,
+    )
+
+    rows = q_label_centroids(spark, sf_dir).collect()
+    # 10 labels -> 45 unordered pairs, all cosines in [-1, 1]
+    assert len(rows) == 45
+    assert all(-1.0 <= r["centroid_cos"] <= 1.0 for r in rows)
+    assert all(r["label_a"] < r["label_b"] for r in rows)
+
+
+def test_bpe_pairs_shape(spark_sf):
+    spark, sf_dir = spark_sf
+    from confluent_example_firehose_spark.operators.scoring_queries import (
+        BPE_TOPK,
+        q_bpe_pairs,
+    )
+
+    df = q_bpe_pairs(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted(df.collect(), key=lambda r: r["rank"])
+    assert len(rows) == BPE_TOPK
+    assert all(len(r["pair"]) == 2 for r in rows)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_trend_fit_recovers_constant_series(spark):
+    # a flat series must fit slope ~ 0 with intercept = the constant
+    import datetime
+
+    from confluent_example_firehose_spark.operators import scoring_queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("flat", base + datetime.timedelta(hours=h), 3.5) for h in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    import tempfile, os
+
+    root = tempfile.mkdtemp(prefix="trend_")
+    p = os.path.join(root, "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = {r["event_type"]: r for r in scoring_queries.q_trend_fit(spark, root).collect()}
+    assert out["flat"]["slope_cents_per_hr"] == 0.0
+    assert out["flat"]["intercept_cents"] == 350.0
