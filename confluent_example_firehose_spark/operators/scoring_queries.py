@@ -41,21 +41,24 @@ _BIGRAMS_SQL = (
     WITH st AS (
         SELECT doc_id, {_WORDS_SQL} AS w FROM documents
     ),
-    inst AS (
-        SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram
-        FROM st WHERE len(w) >= 2
+    tf AS (
+        SELECT doc_id, gram, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram
+              FROM st WHERE len(w) >= 2)
+        GROUP BY doc_id, gram
     ),
     corpus AS (
-        SELECT gram, count(*) AS cnt FROM inst GROUP BY gram
+        SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY gram
     ),
     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM corpus)
-    SELECT i.doc_id, count(*) AS n_bigrams,
-           CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
-           round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 6) AS mean_cnt,
-           round(CAST(sum(c.cnt) AS DOUBLE) * 1000000
-                 / (count(*) * (SELECT total FROM tot)), 6) AS rel_ppm
-    FROM inst i JOIN corpus c ON c.gram = i.gram
-    GROUP BY i.doc_id
+    SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(t.tf * c.cnt) AS BIGINT) AS freq_sum,
+           round(CAST(sum(t.tf * c.cnt) AS DOUBLE) / sum(t.tf), 6)
+               AS mean_cnt,
+           round(CAST(sum(t.tf * c.cnt) AS DOUBLE) * 1000000
+                 / (sum(t.tf) * (SELECT total FROM tot)), 6) AS rel_ppm
+    FROM tf t JOIN corpus c ON c.gram = t.gram
+    GROUP BY t.doc_id
     """,
 )
 def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,11 +69,15 @@ def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same ordering signal a small LM gives, with integer-exact math
     (see module docstring for why not log-probabilities).
 
-    Scale shape: corpus counts are one map-side-combinable hash agg;
-    the instance⋈corpus join shuffles on gram (stopword grams are the
-    heavy keys, but the count side is one row per gram — classic
-    hash-join fan-out, no blowup); the per-doc aggregate reuses the
-    doc_id key. Total is a broadcast one-row aggregate."""
+    Scale shape: instances collapse to (doc, gram) term frequencies
+    FIRST (one map-side-combinable agg — the explode runs once), the
+    corpus table derives from those tf rows by a second agg, and the
+    gram join runs at (doc, gram) granularity with freq_sum recovered
+    as sum(tf * cnt) — instance-level work without instance-level join
+    fan-in (measured 6.1 s -> ~2 s at sf0.1 vs the instance-join
+    shape). Stopword grams are the heavy join keys, but the count side
+    is one row per gram — hash-join fan-out, no blowup. Total is a
+    broadcast one-row aggregate."""
     d = load_table(spark, sf_dir, "documents")
     st = d.select("doc_id", words("text").alias("w")).filter(
         F.size("w") >= 2
@@ -82,15 +89,19 @@ def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(w, i), F.element_at(w, i + 1)
         ),
     )
-    inst = st.select("doc_id", F.explode(grams).alias("gram"))
-    corpus = inst.groupBy("gram").agg(F.count("*").alias("cnt"))
+    tf = (
+        st.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = tf.groupBy("gram").agg(F.sum("tf").alias("cnt"))
     tot = corpus.agg(F.sum("cnt").alias("total"))
     per_doc = (
-        inst.join(corpus, "gram")
+        tf.join(corpus, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("cnt").alias("freq_sum"),
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("freq_sum"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(
