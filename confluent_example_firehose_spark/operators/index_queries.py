@@ -144,39 +144,41 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hapax noise), exactly as real vocab builds do.
 
     Scale shape: two hash aggregations — (term, doc) tf then term —
-    both map-side combnable with high-cardinality uniform keys; ONE
-    shuffle each. The collect_list is bounded per term by df and then
-    capped to POSTINGS_CAP for the manifest; a production index writes
-    full postings via sortWithinPartitions(term, doc_id) streaming
-    writes instead of materializing them in one row (documented trade:
-    the stopword term's full posting list never sits in memory here —
-    only its first {POSTINGS_CAP} sorted ids survive the slice)."""
+    both map-side combinable with high-cardinality uniform keys; ONE
+    shuffle each (the posting-head rank below reuses the same term
+    partitioning). The posting head is rank-filtered to POSTINGS_CAP
+    rows per term BEFORE collect_list, so a stopword term's full
+    posting list never materializes in an agg buffer — only its first
+    {POSTINGS_CAP} doc ids flow into the array (a production index
+    streams full postings via sortWithinPartitions(term, doc_id)
+    writes; this is the manifest twin)."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(words("text")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    postings = F.concat_ws(
-        ",",
-        F.transform(
-            F.slice(
-                F.array_sort(F.collect_list(F.col("doc_id"))),
-                1,
-                POSTINGS_CAP,
-            ),
-            lambda x: x.cast("string"),
-        ),
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_sum"),
     )
-    return (
-        tf.groupBy("term")
+    rn = F.row_number().over(W.partitionBy("term").orderBy("doc_id"))
+    heads = (
+        tf.select("term", "doc_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("term")
         .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("tf_sum"),
-            postings.alias("postings_head"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head")
         )
-        .filter(F.col("df") >= MIN_DF)
     )
+    return stats.join(heads, "term").filter(F.col("df") >= MIN_DF)
 
 
 @register(
