@@ -315,6 +315,7 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+        WHERE len(embedding) > 0
     ),
     m AS (
         SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
@@ -353,11 +354,16 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0 init == list_reduce from the first element — the q_ts_ewma
     argument), so values are bit-identical before the final round.
     Flat vectors (mx == mn) quantize to all-zero codes via the scale=1
-    guard instead of dividing by zero.
+    guard instead of dividing by zero; EMPTY vectors are excluded by
+    contract on both sides (DuckDB's list_reduce hard-errors on an
+    empty list while Spark's aggregate would emit a null row — the
+    filter keeps the engines comparable instead of divergent).
 
     Scale shape: pure narrow map over one table — no shuffle, no
     Python; every expression is codegen'd array math."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    )
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

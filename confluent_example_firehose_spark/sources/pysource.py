@@ -86,8 +86,13 @@ def q_pysource_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class GenReader(DataSourceReader):
         def partitions(self):
+            # last partition absorbs the remainder — a plain (p+1)*step
+            # upper bound silently drops n % parts records
             step = n // parts
-            return [InputPartition((p * step, (p + 1) * step)) for p in range(parts)]
+            return [
+                InputPartition((p * step, n if p == parts - 1 else (p + 1) * step))
+                for p in range(parts)
+            ]
 
         def read(self, part):
             lo, hi = part.value
@@ -202,6 +207,12 @@ def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if spark.table(name).count() >= n:
                 break
             time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                f"q_pysource_stream: only {spark.table(name).count()} of "
+                f"{n} records arrived before the deadline — refusing to "
+                "return a partial (nondeterministic) aggregate"
+            )
     finally:
         q.stop()
         q.awaitTermination()

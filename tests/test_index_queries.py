@@ -62,25 +62,27 @@ def test_embed_quantize_is_narrow(spark_sf):
     assert r["mse_ppm"] >= 0.0
 
 
-def test_embed_quantize_flat_vector_guard(spark):
-    # all-equal vector: scale guard must yield zero codes, zero error
-    df = spark.createDataFrame(
-        [(1, [0.5] * 4)], "vec_id long, embedding array<float>"
-    )
-    out = (
-        df.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
-    # reuse the query path end-to-end via a temp table is heavier; the
-    # guard itself is pinned at the oracle level — here just assert the
-    # real query runs over testdata without division errors (covered
-    # above) and the kernel math on a flat vector:
-    mn = 0.5
-    codes = [round((x - mn) * iq.QUANT_LEVELS / 1.0) for x in [0.5] * 4]
-    assert codes == [0, 0, 0, 0]
-    assert out.count() == 1
+def test_embed_quantize_flat_and_empty_vector_guards(spark):
+    # run the REAL query over a staged embeddings table containing a
+    # flat vector (scale guard) and an empty vector (exclusion
+    # contract) — the guards must execute, not just exist
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="quant_guard_")
+    spark.createDataFrame(
+        [
+            (1, [0.5] * 4, 0),  # flat: codes all 0, zero error
+            (2, [], 1),  # empty: excluded by contract
+            (3, [0.0, 1.0], 2),  # rails: codes 0 and 255
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(root, "embeddings.parquet"))
+    rows = {r["vec_id"]: r for r in iq.q_embed_quantize(spark, root).collect()}
+    assert set(rows) == {1, 3}  # empty vector filtered out
+    assert rows[1]["code_sum"] == 0 and rows[1]["mse_ppm"] == 0.0
+    assert rows[1]["vmin"] == rows[1]["vmax"] == 0.5
+    assert rows[3]["code_sum"] == iq.QUANT_LEVELS
 
 
 def test_mixture_sample_window_is_partitioned(spark_sf):
