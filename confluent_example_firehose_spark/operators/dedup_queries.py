@@ -186,3 +186,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register("q_dedup_simhash8", oracle=None)  # rows-only
+def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, WIDE-radius variant (r3 roadmap follow-through:
+    'multi-bucket probing for 4 < d <= 8'): 8 x 8-bit pigeonhole blocks
+    give FULL recall for Hamming d <= 7 (a pair differing in <= 7 bits
+    cannot touch all 8 blocks), versus the default 4 x 16-bit scheme's
+    d <= 3 guarantee. The price is candidate volume: 8-bit blocks have
+    256 possible values, so buckets are ~256x more collision-prone than
+    16-bit blocks — the right trade when near-dup policy needs the
+    wider radius, with the same skew guard (max_bucket) bounding any
+    degenerate bucket. Same candidate/verify split, same single bucket
+    shuffle; tests/test_dedup.py pins the recall contract the 4-block
+    scheme provably lacks at d = 5."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = simhash_fingerprints(d, "doc_id", "text").persist()
+    cands = simhash_candidate_pairs(fp, n_blocks=8)
+    a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+    )

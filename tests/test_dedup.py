@@ -100,3 +100,20 @@ def test_fuzzy_block_skew_guard(spark):
     blocks = {r["block"] for r in kept.collect()}
     assert blocks == {"rare"}  # "shared" block (6 > 4) dropped
     assert kept.count() == 2
+
+
+def test_simhash_block_geometry_recall_contract(spark):
+    """d=5 pair crafted to touch ALL four 16-bit blocks: the 4-block
+    scheme provably misses it (pigeonhole only covers d <= 3), the
+    8-block scheme provably finds it (5 flips cannot touch all 8
+    blocks) — the exact contract q_dedup_simhash8 exists for."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    flips = (1 << 0) | (1 << 8) | (1 << 16) | (1 << 32) | (1 << 48)
+    fp = spark.createDataFrame([(1, 0), (2, flips)], "_id long, fp long")
+    four = simhash_candidate_pairs(fp, n_blocks=4).collect()
+    eight = simhash_candidate_pairs(fp, n_blocks=8).collect()
+    assert four == []  # every 16-bit block differs -> no shared bucket
+    assert [(r["id_a"], r["id_b"]) for r in eight] == [(1, 2)]
