@@ -490,15 +490,29 @@ def _morton_sql(xe: str, ye: str, bits: int = Z_BITS) -> str:
 @register(
     "q_zorder_layout",
     oracle=f"""
-    WITH keyed AS (
-        SELECT o_orderkey, x, y, {_morton_sql('x', 'y')} AS zkey
-        FROM (
-            SELECT o_orderkey,
-                   o_custkey % {1 << Z_BITS} AS x,
-                   date_diff('day', DATE '{_Z_EPOCH}',
-                             CAST(o_orderdate AS DATE)) AS y
-            FROM orders
-        )
+    WITH raw AS (
+        SELECT o_orderkey,
+               o_custkey % {1 << Z_BITS} AS x,
+               date_diff('day', DATE '{_Z_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS y
+        FROM orders
+    ),
+    bounds AS (
+        SELECT min(x) AS x_lo, max(x) AS x_hi,
+               min(y) AS y_lo, max(y) AS y_hi
+        FROM raw
+    ),
+    scaled AS (
+        SELECT o_orderkey, x, y,
+               (x - x_lo) * {(1 << Z_BITS) - 1}
+                   // GREATEST(x_hi - x_lo, 1) AS xs,
+               (y - y_lo) * {(1 << Z_BITS) - 1}
+                   // GREATEST(y_hi - y_lo, 1) AS ys
+        FROM raw, bounds
+    ),
+    keyed AS (
+        SELECT o_orderkey, x, y, {_morton_sql('xs', 'ys')} AS zkey
+        FROM scaled
     ),
     bucketed AS (
         SELECT *, ntile({Z_BUCKETS}) OVER (ORDER BY zkey, o_orderkey)
@@ -540,14 +554,43 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     range sampling is not. Plan-tested: no WindowExec, one
     rangepartitioning Exchange."""
     o = load_table(spark, sf_dir, "orders")
-    keyed = o.select(
+    raw = o.select(
         "o_orderkey",
         (F.col("o_custkey") % (1 << Z_BITS)).alias("x"),
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
         ).alias("y"),
     )
-    keyed = keyed.withColumn("zkey", morton_key(F.col("x"), F.col("y")))
+    # min-max normalize each dimension to the full Z_BITS range before
+    # interleaving (what OPTIMIZE ZORDER's range-id pass does): raw
+    # interleaving degenerates to a single-column sort whenever one
+    # dimension's actual value range is far narrower than its bit
+    # space — measured on this data: custkeys use <4% of the 12-bit
+    # space, so unnormalized zkeys were ordered almost purely by date
+    # and bucket envelopes never clustered x at all
+    # (tests/test_plans_r4.py pins the 2-D skipping benefit now).
+    bounds = raw.agg(
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        F.min("y").alias("y_lo"),
+        F.max("y").alias("y_hi"),
+    )
+    maxv = (1 << Z_BITS) - 1
+    keyed = raw.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "x",
+        "y",
+        F.expr(
+            f"(x - x_lo) * {maxv} div greatest(x_hi - x_lo, 1)"
+        ).alias("xs"),
+        F.expr(
+            f"(y - y_lo) * {maxv} div greatest(y_hi - y_lo, 1)"
+        ).alias("ys"),
+    )
+    keyed = keyed.select(
+        "o_orderkey", "x", "y",
+        morton_key(F.col("xs"), F.col("ys")).alias("zkey"),
+    )
     # persist is load-bearing: the per-partition counts and the final
     # aggregate must see the SAME range-sampled partitioning.
     part = (

@@ -92,3 +92,69 @@ def test_trend_and_corr_single_aggregate_pass(spark, sf_dir, fns):
         # beyond the broadcast scalar (trend's min-ts)
         assert "Window" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_zorder_envelopes_skip_better_than_linear(spark, sf_dir, fns):
+    """Quantified data-skipping benefit: for a 2-D range predicate, the
+    Z-order layout's per-bucket (x, y) envelopes must let MORE buckets
+    be skipped than a single-column (date-sorted) layout of the same
+    data into the same bucket count — the property the Morton key
+    exists to provide."""
+    from pyspark.sql import Window as W
+
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.curation_queries import (
+        Z_BITS,
+        Z_BUCKETS,
+        _Z_EPOCH,
+    )
+    from pyspark.sql import functions as F
+
+    z_env = [
+        (r["x_min"], r["x_max"], r["y_min"], r["y_max"])
+        for r in fns["q_zorder_layout"](spark, sf_dir).collect()
+    ]
+    # linear layout: same rows, date-sorted, same bucket count (window
+    # ntile is fine HERE: test-only, sf0.001)
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % (1 << Z_BITS)).alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+        ).alias("y"),
+        "o_orderkey",
+    )
+    lin = o.withColumn(
+        "bucket", F.ntile(Z_BUCKETS).over(W.orderBy("y", "o_orderkey"))
+    )
+    lin_env = [
+        (r["x_min"], r["x_max"], r["y_min"], r["y_max"])
+        for r in lin.groupBy("bucket")
+        .agg(
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .collect()
+    ]
+    x_lo = min(x for x, _, _, _ in z_env)
+    x_hi = max(x for _, x, _, _ in z_env)
+    y_lo = min(y for _, _, y, _ in z_env)
+    y_hi = max(y for _, _, _, y in z_env)
+    # a predicate narrow in BOTH dims relative to the OBSERVED ranges:
+    # bottom 1/8 of the custkey range, middle quarter of the date range
+    qx = (x_lo, x_lo + (x_hi - x_lo) // 8)
+    span = y_hi - y_lo
+    qy = (y_lo + span * 3 // 8, y_lo + span * 5 // 8)
+
+    def hits(env):
+        return sum(
+            1
+            for x0, x1, y0, y1 in env
+            if x1 >= qx[0] and x0 <= qx[1] and y1 >= qy[0] and y0 <= qy[1]
+        )
+
+    z_hits, lin_hits = hits(z_env), hits(lin_env)
+    # the date-sorted layout cannot prune on x at all; Z-order must
+    # scan strictly fewer buckets for the 2-D predicate
+    assert z_hits < lin_hits, (z_hits, lin_hits)
