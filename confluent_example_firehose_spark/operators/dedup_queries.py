@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -215,4 +215,94 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
         )
         .filter(F.col("hamming") <= 7)
+    )
+
+
+INCR_OLD = 150  # existing corpus: doc_id < INCR_OLD
+INCR_NEW = 200  # new batch: INCR_OLD <= doc_id < INCR_NEW
+INCR_JAC = 0.5  # duplicate threshold
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ws
+        FROM documents
+        WHERE doc_id < {INCR_NEW}
+    ),
+    pairs AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+               CAST(len(list_intersect(n.ws, o.ws)) AS DOUBLE)
+               / (len(n.ws) + len(o.ws) - len(list_intersect(n.ws, o.ws)))
+                   AS jac
+        FROM w n, w o
+        WHERE n.doc_id >= {INCR_OLD} AND o.doc_id < {INCR_OLD}
+    )
+    SELECT new_id, old_id AS best_old_id, round(jac, 6) AS jac,
+           CAST(jac >= {INCR_JAC} AS BIGINT) AS is_dup
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY new_id ORDER BY jac DESC, old_id) AS rn
+        FROM pairs
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: each NEW document is checked against
+    the EXISTING corpus only (bipartite new x old — never new x new or
+    the full corpus re-pair), reporting its best existing match and a
+    duplicate verdict. This is the shape a daily crawl append runs:
+    work scales with |batch| x candidates, not |corpus|^2.
+
+    The demo window is exact-Jaccard over bounded id ranges so DuckDB
+    can replay it; at 100 TB the bipartite candidate generation runs
+    through minhash_candidate_pairs with the band table of the OLD
+    corpus persisted from the previous run (the LSH index is the
+    incremental state) and only the new batch's bands computed fresh —
+    the same equi-join, one side pre-existing. Pair enumeration here is
+    the bounded_pairs narrow-map pattern (no theta-join BNLJ); the
+    best-match rank partitions by new_id — bounded by the batch."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCR_NEW
+    )
+    ws = d.select(
+        "doc_id", F.array_distinct(words("text")).alias("ws")
+    )
+    n_new = INCR_NEW - INCR_OLD
+    # narrow bipartite pair grid: (new_id, old_id) without any join
+    grid = spark.range(n_new * INCR_OLD).select(
+        (F.col("id") % n_new + INCR_OLD).alias("new_id"),
+        F.floor(F.col("id") / n_new).alias("old_id"),
+    )
+    new_side = ws.filter(F.col("doc_id") >= INCR_OLD).select(
+        F.col("doc_id").alias("new_id"), F.col("ws").alias("nws")
+    )
+    old_side = ws.filter(F.col("doc_id") < INCR_OLD).select(
+        F.col("doc_id").alias("old_id"), F.col("ws").alias("ows")
+    )
+    pairs = (
+        grid.join(F.broadcast(new_side), "new_id")
+        .join(F.broadcast(old_side), "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            jaccard(F.col("nws"), F.col("ows")).alias("jac"),
+        )
+    )
+    w = F.row_number().over(
+        W.partitionBy("new_id").orderBy(F.desc("jac"), "old_id")
+    )
+    return (
+        pairs.withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            F.col("old_id").alias("best_old_id"),
+            F.round("jac", 6).alias("jac"),
+            (F.col("jac") >= INCR_JAC).cast("long").alias("is_dup"),
+        )
     )

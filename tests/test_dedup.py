@@ -117,3 +117,19 @@ def test_simhash_block_geometry_recall_contract(spark):
     eight = simhash_candidate_pairs(fp, n_blocks=8).collect()
     assert four == []  # every 16-bit block differs -> no shared bucket
     assert [(r["id_a"], r["id_b"]) for r in eight] == [(1, 2)]
+
+
+def test_incremental_dedup_bipartite_only(spark, sf_dir):
+    """Every new-batch doc gets exactly one best match drawn from the
+    OLD corpus only — the bipartite contract (never new x new)."""
+    from confluent_example_firehose_spark.operators.dedup_queries import (
+        INCR_NEW,
+        INCR_OLD,
+        q_dedup_incremental,
+    )
+
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    assert len(rows) == INCR_NEW - INCR_OLD
+    assert {r["new_id"] for r in rows} == set(range(INCR_OLD, INCR_NEW))
+    assert all(r["best_old_id"] < INCR_OLD for r in rows)
+    assert all((r["jac"] >= 0.5) == (r["is_dup"] == 1) for r in rows)
