@@ -39,55 +39,53 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
-# Window head, in order: the driver only records the FIRST 50 entries of
-# queries() each round, so ordering is rotation state. Positions 1-3 are
-# the r3 driver-red queries (canonicalization fixed in r4 — they MUST be
-# re-adjudicated); 4-14 are the r3 additions that registered past the
-# 50-entry window and have never received a driver row (VERDICT.md r3
-# action items 1-2).
-_PRIORITY: tuple[str, ...] = (
-    "q_corpus_curation", "q_tpch_q12", "q_scan_json",
-    "q_contamination", "q_chunk_documents", "q_pii_redact",
-    "q_zorder_layout", "q_ts_resample", "q_ts_rate", "q_ts_downsample",
-    "q_ts_anomaly", "q_ts_ewma", "q_text_bm25", "q_text_tfidf",
+# Window head: the driver only records the FIRST 50 entries of
+# queries() each round, so ordering is rotation state. The order is now
+# computed from the CORRECTNESS_r*.json history on disk (see
+# _driver_history): never-driver-checked queries come UNCONDITIONALLY
+# first (VERDICT r4 item 1 — three r4 additions sat at positions 51-53
+# and never got a row), then this round's re-adjudications (_RECHECK:
+# queries whose output or oracle changed this round), then everything
+# else, least-recently-checked first.
+_RECHECK: tuple[str, ...] = (
+    # r5: streaming rows-only -> hash-checked conversions (VERDICT r4
+    # item 2; rescan/end-state pattern proven by q_sink_foreachbatch).
+    "q_sink_pull", "q_sink_push", "q_sink_push_http", "q_watermark",
+    "q_microbatch_flush", "q_dedup_stream", "q_stream_join",
+    "q_stream_static_enrich", "q_window_session_stream",
+    # r5: exact pair oracles for the near-dup candidates (item 3).
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_simhash8",
+    # r5: ADVICE-touched (guards / vectorization / shuffle trim) —
+    # re-adjudicate to prove output unchanged.
+    "q_corr_stats", "q_dedup_incremental", "q_funnel",
+    "q_quality_repetition", "q_similarity_ivf",
 )
 
-# Queries that already have a driver CORRECTNESS row (union of the keys in
-# CORRECTNESS_r01 + r02 + r03, minus the r3 hash-fails pinned above).
-# Queries NOT in this set and not in _PRIORITY are emitted right after the
-# priority block (in registration order) so every query eventually gets a
-# driver-verified row. Update from CORRECTNESS_r{N}.json each round.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "q_agg_approx", "q_agg_basic", "q_agg_distinct", "q_agg_quantiles",
-        "q_array_explode", "q_bucketed_join", "q_conditional_agg",
-        "q_date_funcs", "q_dedup_clusters", "q_dedup_embed", "q_dedup_exact",
-        "q_dedup_fuzzy", "q_dedup_jaccard", "q_dedup_near", "q_dedup_simhash",
-        "q_dedup_stream", "q_doc_fingerprint", "q_dpp_join",
-        "q_exists_subquery", "q_filter_project", "q_grouping_sets",
-        "q_join_asof", "q_join_asof_merge", "q_join_inner", "q_join_outer",
-        "q_join_range", "q_join_salted", "q_join_semi_anti", "q_json_funcs",
-        "q_json_parse", "q_last_value", "q_lookup_enrich", "q_map_filter",
-        "q_map_project", "q_microbatch_flush", "q_multimodal_features",
-        "q_multimodal_frames", "q_multimodal_join", "q_multimodal_resize",
-        "q_pandas_udaf", "q_pandas_udf", "q_percentile_exact", "q_pivot",
-        "q_profile_table", "q_rollup_cube", "q_sample_stratified",
-        "q_scalar_funcs", "q_scalar_subquery", "q_scan_csv", "q_scan_events",
-        "q_scan_parquet", "q_series_cap", "q_set_ops", "q_similarity_ivf",
-        "q_similarity_lsh", "q_similarity_topk", "q_sink_parquet_partitioned",
-        "q_sink_pull", "q_sink_push", "q_sink_push_http", "q_stateful_ttl",
-        "q_stream_join", "q_stream_static_enrich", "q_string_agg",
-        "q_text_langid", "q_text_quality", "q_text_tokens",
-        "q_text_tokens_bpe", "q_topk", "q_tpch_q1", "q_tpch_q10",
-        "q_tpch_q11", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-        "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20",
-        "q_tpch_q21", "q_tpch_q22", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-        "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_udtf",
-        "q_unpivot", "q_watermark", "q_window_ntile", "q_window_rank",
-        "q_window_running", "q_window_session", "q_window_session_stream",
-        "q_window_sliding", "q_window_tumbling",
-    }
-)
+def _driver_history() -> dict[str, int]:
+    """name -> latest round with a driver CORRECTNESS row, read from the
+    committed CORRECTNESS_r*.json files at the repo root. Self-
+    maintaining: a query absent from every file has never been driver-
+    checked and must be ordered into the 50-entry window first."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -118,18 +116,22 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import analytics_queries  # noqa: F401
     from .operators import scoring_queries  # noqa: F401
 
-    # Driver-priority ordering: the explicit _PRIORITY head (r3 reds +
-    # never-checked r3 additions), then any other never-driver-verified
-    # query in registration order (round-4 additions land here, inside
-    # the 50-entry window), then the verified tail.
-    prio = {name: i for i, name in enumerate(_PRIORITY)}
-    names = list(_REGISTRY)
-    reg_pos = {name: i for i, name in enumerate(names)}
+    # Driver-priority ordering, three tiers inside the 50-entry window:
+    #   1. never driver-checked (no CORRECTNESS row in any round) — in
+    #      registration order; new queries ALWAYS land here;
+    #   2. this round's re-adjudications (_RECHECK order);
+    #   3. the rest, least-recently-checked round first, then
+    #      registration order (rotates old greens back under the
+    #      driver's eye across rounds).
+    history = _driver_history()
+    recheck = {name: i for i, name in enumerate(_RECHECK)}
+    reg_pos = {name: i for i, name in enumerate(_REGISTRY)}
     ordered = sorted(
         _REGISTRY.items(),
         key=lambda kv: (
-            prio.get(kv[0], len(prio)),
-            kv[0] in _DRIVER_VERIFIED,
+            kv[0] in history,  # tier 1: never-checked first
+            recheck.get(kv[0], len(recheck)),  # tier 2
+            history.get(kv[0], 0),  # tier 3: stalest first
             reg_pos[kv[0]],
         ),
     )
