@@ -17,6 +17,8 @@ point — Structured Streaming plans are source-agnostic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,13 +75,42 @@ def stage_event_files(
 ) -> None:
     """Split the events table into n time-range files under out_dir so
     the file source yields n micro-batches (maxFilesPerTrigger=1) in
-    roughly event-time order — the batch twin of n Kafka polls."""
+    event-time order — the batch twin of n Kafka polls.
+
+    Two determinism guards (r5, found by the streaming hash oracles):
+
+    1. FileStreamSource orders batches by file MODIFICATION TIME; the
+       parallel write gives all parts near-identical mtimes, so batch
+       order (and therefore which rows are "late" w.r.t. the
+       watermark) was nondeterministic. repartitionByRange assigns
+       ascending ts ranges to ascending partition ids, so re-stamping
+       mtimes in filename order pins arrival = event-time order.
+    2. availableNow never runs a batch after the last data file, so
+       the watermark advance from the final batch evicts nothing —
+       append-mode sinks permanently miss the last file's closed
+       windows. An EMPTY tail file (latest mtime) triggers one final
+       flush batch that applies the end-of-data watermark.
+    """
+    import glob
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from ..catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
     events.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(
         out_dir
     )
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    flush = os.path.join(out_dir, "zz-flush.parquet")
+    pq.write_table(
+        pq.ParquetFile(parts[0]).schema_arrow.empty_table(), flush
+    )
+    base = time.time()
+    for i, path in enumerate(parts + [flush]):
+        os.utime(path, (base + i, base + i))
 
 
 def file_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:

@@ -9,10 +9,14 @@ from confluent_example_firehose_spark.streaming.sinks import to_prometheus_text
 
 def test_microbatch_flush_epochs(spark, sf_dir):
     out = query_fns()["q_microbatch_flush"](spark, sf_dir).collect()
-    # 4 staged files with maxFilesPerTrigger=1 -> 4 micro-batches,
-    # epoch ids contiguous from 0, every batch non-empty
-    assert [r["epoch_id"] for r in out] == [0, 1, 2, 3]
-    assert all(r["n_rows"] > 0 for r in out)
+    # 4 staged data files with maxFilesPerTrigger=1 -> 4 non-empty
+    # micro-batches, plus the one empty watermark-flush epoch
+    # (stage_event_files); row total = the whole events table.
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_epochs"] == 5
+    assert row["n_empty_epochs"] == 1
+    assert row["n_rows_total"] > 0
 
 
 def test_pull_sink_registry_matches_batch(spark, sf_dir):
