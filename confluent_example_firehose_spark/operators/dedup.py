@@ -243,10 +243,13 @@ def simhash_candidate_pairs(
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays. Integer set sizes;
-    the single double division is bit-identical across engines."""
+    the single double division is bit-identical across engines.
+    Empty-vs-empty is 0.0 by definition (ADVICE r4: bare 0/0 produced
+    NaN in Spark with engine-dependent DuckDB behavior, and NaN-first
+    desc ordering corrupted best-match ranks on degenerate docs)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = (F.size(a) + F.size(b)).cast("double") - inter
-    return inter / union
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
 def simhash_fingerprints(

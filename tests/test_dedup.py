@@ -119,6 +119,40 @@ def test_simhash_block_geometry_recall_contract(spark):
     assert [(r["id_a"], r["id_b"]) for r in eight] == [(1, 2)]
 
 
+def test_simhash8_bucket_cap_regime(spark):
+    """ADVICE r4 (medium): the generic max_bucket=256 silently dropped
+    whole buckets once 8-bit blocks collided at realistic corpus sizes,
+    voiding the d<=7 recall guarantee. Build a 300-id bucket (over the
+    old cap) containing a d=7 pair that shares ONLY that block: the old
+    cap provably misses it, q_dedup_simhash8's sized cap finds it."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from confluent_example_firehose_spark.operators.dedup_queries import (
+        SIMHASH8_BUCKET_CAP,
+    )
+
+    # d=7 pair: one bit flipped in each of blocks 1-7, block 0 == 0
+    flips = 0
+    for b in range(1, 8):
+        flips |= 1 << (b * 8)
+    assert bin(flips).count("1") == 7
+    # 298 fillers also share block 0 (low byte 0), unique elsewhere —
+    # bucket (block 0, value 0) holds 300 ids > the old 256 cap.
+    rows = [(1, 0), (2, flips)] + [
+        (10 + i, (i + 3) << 16) for i in range(298)
+    ]
+    fp = spark.createDataFrame(rows, "_id long, fp long")
+    old_cap = simhash_candidate_pairs(fp, n_blocks=8, max_bucket=256)
+    sized = simhash_candidate_pairs(
+        fp, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP
+    )
+    old_pairs = {(r["id_a"], r["id_b"]) for r in old_cap.collect()}
+    sized_pairs = {(r["id_a"], r["id_b"]) for r in sized.collect()}
+    assert (1, 2) not in old_pairs  # the silent drop ADVICE flagged
+    assert (1, 2) in sized_pairs
+
+
 def test_incremental_dedup_bipartite_only(spark, sf_dir):
     """Every new-batch doc gets exactly one best match drawn from the
     OLD corpus only — the bipartite contract (never new x new)."""
