@@ -44,9 +44,9 @@ GROUP_SAMPLE_SEED = "gs17"
            (SELECT count(*) FROM s2) AS n_click_view,
            (SELECT count(*) FROM s3) AS n_click_view_purchase,
            round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
-                 / (SELECT count(*) FROM s1), 6) AS conv_1_2,
+                 / nullif((SELECT count(*) FROM s1), 0), 6) AS conv_1_2,
            round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
-                 / (SELECT count(*) FROM s2), 6) AS conv_2_3
+                 / nullif((SELECT count(*) FROM s2), 0), 6) AS conv_2_3
     """,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,12 +90,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_click",
         "n_click_view",
         "n_click_view_purchase",
+        # nullif guards (ADVICE r4): an empty prior step makes the
+        # conversion NULL on both engines instead of Spark-NaN vs
+        # DuckDB's engine-dependent 0/0.
         F.round(
-            F.col("n_click_view").cast("double") / F.col("n_click"), 6
+            F.col("n_click_view").cast("double")
+            / F.nullif(F.col("n_click"), F.lit(0)),
+            6,
         ).alias("conv_1_2"),
         F.round(
             F.col("n_click_view_purchase").cast("double")
-            / F.col("n_click_view"),
+            / F.nullif(F.col("n_click_view"), F.lit(0)),
             6,
         ).alias("conv_2_3"),
     )

@@ -454,11 +454,12 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            round((CAST(sxy AS DOUBLE) / n
                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                 / (sqrt(CAST(sxx AS DOUBLE) / n
+                 / nullif(
+                    sqrt(CAST(sxx AS DOUBLE) / n
                          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
                     * sqrt(CAST(syy AS DOUBLE) / n
                            - (CAST(sy AS DOUBLE) / n)
-                             * (CAST(sy AS DOUBLE) / n))),
+                             * (CAST(sy AS DOUBLE) / n)), 0),
                  6) AS corr_xy
     FROM g
     """,
@@ -497,10 +498,14 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = sxy.cast("double") / n - mx * my
     vx = sxx.cast("double") / n - mx * mx
     vy = syy.cast("double") / n - my * my
+    # Zero-variance guard (ADVICE r4): constant x or y in a group makes
+    # the denominator 0 — bare division gives NaN in Spark with engine-
+    # dependent DuckDB behavior; NULL is the defined value both sides.
+    denom = F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0))
     return g.select(
         "event_type",
         "n",
-        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_xy"),
+        F.round(cov / denom, 6).alias("corr_xy"),
     )
 
 

@@ -181,12 +181,16 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def nearest_list(vs: pd.Series) -> pd.Series:
+        # One (batch x K x dim) vectorized distance per Arrow batch
+        # (VERDICT r4 item 4 — the per-row loop was the per-row-Python
+        # shape the engine elsewhere engineers away). The broadcast
+        # form keeps the arithmetic bit-identical to the per-row
+        # ((c - x)^2).sum(1), unlike the ||c||^2 - 2x.c matmul
+        # expansion, so near-tie list assignments cannot flip.
         c = cents_b.value
-        out = np.empty(len(vs), dtype=np.int32)
-        for i, v in enumerate(vs):
-            x = np.asarray(v)
-            out[i] = ((c - x) ** 2).sum(1).argmin()
-        return pd.Series(out)
+        x = np.stack(vs.to_numpy())
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(1).astype(np.int32))
 
     listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
     # queries probe their NPROBE nearest lists

@@ -31,7 +31,14 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     r1, r9 = recall(single), recall(multi)
     # multi-probe candidates are a superset: recall can only improve
     assert r9 >= r1
-    for q in single:
-        assert single[q] <= multi.get(q, set()) | single[q]
+    # Per-query exact-hit dominance (ADVICE r4 replaced a tautology):
+    # an exact-top-k member is beaten by fewer than k vectors globally,
+    # so it survives the (total-order) rank in ANY candidate pool that
+    # contains it — multi's pool contains single's, hence every exact
+    # hit single finds, multi must find too. This is provable on the
+    # top-k OUTPUTS, unlike raw top-k set containment (ties aside, a
+    # better candidate pool may push non-exact filler out of the k).
+    for q, ex in exact.items():
+        assert (single.get(q, set()) & ex) <= (multi.get(q, set()) & ex)
     # and it must find something for every query
     assert set(multi) == set(exact)
