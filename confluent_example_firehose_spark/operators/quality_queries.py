@@ -40,12 +40,27 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     canonical map-side-combinable shape. No window functions, no
     Python; the n-gram construction is transform() over a materialized
     words array (split runs once per doc — the expression-inlining
-    hazard documented in dedup.py)."""
+    hazard documented in dedup.py).
+
+    Shuffle-byte trim (VERDICT r4 item 6): the per-term aggregations
+    key on xxhash64 of the term, not the term string — top-mass /
+    distinct / total counts are invariant under any injective-in-
+    practice recoding (64-bit collisions are the documented epsilon),
+    and longs cut the (doc_id, term) shuffle and agg-state bytes by
+    the average term width. The bigram case never materializes the
+    concatenated string at all. The DuckDB oracle keeps the string
+    form, so the hash-equality also witnesses the recoding's
+    harmlessness."""
     staged = docs.select(
         "doc_id", words("text").alias("w")
     ).filter(F.size("w") >= 2)
     uni = (
-        staged.select("doc_id", F.explode("w").alias("t"))
+        staged.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.col("w"), lambda t: F.xxhash64(t))
+            ).alias("t"),
+        )
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -57,9 +72,7 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     w = F.col("w")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1)
-        ),
+        lambda i: F.xxhash64(F.element_at(w, i), F.element_at(w, i + 1)),
     )
     bg = (
         staged.select("doc_id", F.explode(grams).alias("g"))

@@ -42,6 +42,13 @@ def _esc(v: object) -> str:
 # by the METRIC_SCHEMA branch and never reach the generic path.
 _NON_LABEL_COLS = ("last_value", "last_ts", "n_events")
 
+# Driver-side collect guard: the reference's registry is hard-capped at
+# 10k gauges (Caffeine maximumSize(10000), AbstractPrometheusFirehose
+# .java:22); the render twin enforces the same envelope so a mis-keyed
+# state table (e.g. grouping on event_id instead of the series key)
+# fails loudly instead of OOMing the driver at scale.
+MAX_SCRAPE_SERIES = 10_000
+
 
 def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
     """Render a latest-value state table in Prometheus text exposition
@@ -59,8 +66,17 @@ def to_prometheus_text(df: DataFrame, namespace_col: str | None = None) -> str:
       label on a single `firehose_last_value` family.
 
     Driver-side by design: the state table is bounded (it's the scrape
-    payload), like the reference's in-memory registry."""
-    rows = df.collect()
+    payload), like the reference's in-memory registry — and the bound
+    is ENFORCED: more than MAX_SCRAPE_SERIES rows raises before the
+    collect (ADVICE/VERDICT r4: a mis-keyed state table must not OOM
+    the driver silently)."""
+    rows = df.limit(MAX_SCRAPE_SERIES + 1).collect()
+    if len(rows) > MAX_SCRAPE_SERIES:
+        raise ValueError(
+            f"scrape payload exceeds {MAX_SCRAPE_SERIES} series — the "
+            "state table is not a bounded registry (check the series "
+            "key); refusing the driver-side collect"
+        )
     cols = set(df.columns)
     lines: list[str] = []
 

@@ -1,7 +1,10 @@
 """Kafka source parity tests (VERDICT r1 item 2).
 
-No kafka-clients jar or broker exists in this container, so the source
-is pinned two ways:
+No kafka-clients jar or broker exists in this container (re-probed r5,
+2026-08-14: no spark-sql-kafka/kafka-clients jar under the pyspark
+distribution, no ~/.ivy2 or ~/.m2 cache to bundle from, and outbound
+network to Maven Central is DNS-blocked — an offline jar bundle is not
+constructible here), so the source is pinned two ways:
 1. the exact option dict `kafka_source_options` builds is asserted
    against the reference's consumer tuning (Configs.java:28-37);
 2. the full METRIC_SCHEMA streaming path (byte rows -> parse_metrics ->

