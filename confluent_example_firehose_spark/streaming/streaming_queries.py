@@ -646,3 +646,76 @@ def q_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("event_id").alias("sum_id"),
     )
+
+
+@register(
+    "q_stream_restart",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume exactly-once across a full QUERY RESTART — the
+    reference's whole reliability story (commitAsync offset resume,
+    AbstractFirehose.java:132-142) as a hash-checked invariant. Phase A
+    drains the first half of the staged files into an idempotent
+    parquet sink and STOPS; the held-back files then appear and a NEW
+    query object (same checkpoint) drains the remainder. The rescan
+    aggregate hash-matches the batch answer only if the restart
+    (a) skipped every file the WAL already committed — a re-read would
+    double sum_id — and (b) missed none of the late files.
+
+    Scale shape: identical to q_sink_foreachbatch (the restart is
+    driver-side orchestration, not a plan change); checkpoint file-log
+    lookups are O(new files) per trigger."""
+    import glob
+    import shutil
+
+    root = _workdir()
+    src = os.path.join(root, "events")
+    out = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    # Private staging (not _STAGED): the two-phase file appearance
+    # below must not disturb the other streaming queries' shared dir.
+    stage_event_files(spark, sf_dir, src, _N_FILES)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    held_dir = os.path.join(root, "held")
+    os.makedirs(held_dir, exist_ok=True)
+    held: list[tuple[str, str]] = []
+    for path in parts[len(parts) // 2 :] + [
+        os.path.join(src, "zz-flush.parquet")
+    ]:
+        dst = os.path.join(held_dir, os.path.basename(path))
+        shutil.move(path, dst)  # preserves mtime: replay order keeps
+        held.append((dst, path))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    def drain() -> None:
+        q = (
+            file_event_stream(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _few_partitions(spark):
+        drain()  # phase A: first half of the files, then clean stop
+        for dst, path in held:
+            shutil.move(dst, path)  # the "late" files arrive
+        drain()  # phase B: NEW query, same checkpoint — must resume
+    back = spark.read.option("basePath", out).parquet(out + "/batch_id=*")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.sum("user_id").alias("sum_user"),
+    )
