@@ -58,7 +58,7 @@ _RECHECK: tuple[str, ...] = (
     # r5: ADVICE-touched (guards / vectorization / shuffle trim) —
     # re-adjudicate to prove output unchanged.
     "q_corr_stats", "q_dedup_incremental", "q_funnel",
-    "q_quality_repetition", "q_similarity_ivf",
+    "q_quality_repetition", "q_similarity_ivf", "q_pysource_stream",
 )
 
 def _driver_history() -> dict[str, int]:

@@ -357,3 +357,82 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.col("length").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "q_scan_text",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           count(DISTINCT md5(text)) AS n_distinct
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-based text source round trip (log-file ingestion shape):
+    documents.text written via the text sink (one line per doc — the
+    corpus is newline-free, asserted in the oracle by the char total)
+    and re-scanned with spark.read.text. The invariant row counts
+    lines, characters, and distinct md5 lines — any splitting, reorder,
+    truncation, or encoding drift in the text round trip breaks it.
+
+    Scale shape: text scans split by line ranges like any file source;
+    the aggregate is one map-side-combinable pass."""
+    out = os.path.join(_tmp("firehose_text_"), "docs_txt")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("n_chars"),
+        F.countDistinct(F.md5("value")).alias("n_distinct"),
+    )
+
+
+COMPACT_SMALL = 64  # staged small files (the small-files problem input)
+COMPACT_TARGET = 4  # compacted output files
+
+
+@register(
+    "q_compact_files",
+    oracle=f"""
+    SELECT CAST({COMPACT_SMALL} AS BIGINT) AS n_files_before,
+           CAST({COMPACT_TARGET} AS BIGINT) AS n_files_after,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events
+    """,
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance operator every
+    100 TB lake runs: a directory fragmented into COMPACT_SMALL tiny
+    parquet files (each its own scan task + NameNode entry at scale)
+    is rewritten as COMPACT_TARGET right-sized files via coalesce —
+    a NARROW rewrite, no shuffle: each output file concatenates whole
+    input files, so the job moves bytes once and never repartitions.
+    (repartition() would shuffle everything; it buys even sizes or a
+    new sort order — Z-order compaction is q_zorder_layout's job.)
+
+    The invariant row hash-checks exactly-once content survival
+    (row count + two id sums vs the original table) plus the before/
+    after file counts, pinned deterministically by the staging."""
+    import glob as _glob
+
+    root = _tmp("firehose_compact_")
+    frag, packed = os.path.join(root, "frag"), os.path.join(root, "packed")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(COMPACT_SMALL).write.mode("overwrite").parquet(frag)
+    n_before = len(_glob.glob(os.path.join(frag, "part-*.parquet")))
+    spark.read.parquet(frag).coalesce(COMPACT_TARGET).write.mode(
+        "overwrite"
+    ).parquet(packed)
+    n_after = len(_glob.glob(os.path.join(packed, "part-*.parquet")))
+    back = spark.read.parquet(packed)
+    return back.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.sum("user_id").alias("sum_user"),
+    )

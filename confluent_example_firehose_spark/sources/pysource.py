@@ -130,7 +130,22 @@ def q_pysource_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_pysource_stream", oracle=None)
+@register(
+    "q_pysource_stream",
+    oracle=f"""
+    WITH g AS (
+        SELECT i, i % {GEN_SERIES} AS user_id,
+               {_TYPES_SQL} AS event_type,
+               (i * 2654435761) % 100000 AS cents
+        FROM range(0, {STREAM_N}) t(i)
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM g
+    GROUP BY event_type
+    """,
+)
 def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read through a custom Python data source
     (SimpleDataSourceStreamReader): offsets are `{"i": next_index}`,
@@ -138,11 +153,14 @@ def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a processing-time trigger until all STREAM_N records have
     arrived — real multi-micro-batch offset progression (5 batches),
     checkpointable and replayable (readBetweenOffsets), with no broker
-    in the container. The returned aggregate must account for every
-    generated record exactly once — the exactly-once offset contract.
+    in the container.
 
-    Rows-only by nature (streaming); the batch twin q_pysource_metrics
-    hash-verifies the shared record formula against DuckDB."""
+    Hash-checked (r5): the query refuses to return a partial aggregate
+    (deadline error instead), so its output is the exact aggregate of
+    the generator formula over [0, STREAM_N) — which the oracle replays
+    with range() like the batch twin. A drop or replay of any
+    micro-batch breaks the hash: the exactly-once offset contract IS
+    the oracle condition."""
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     n, batch, series = STREAM_N, STREAM_BATCH, GEN_SERIES
