@@ -476,3 +476,58 @@ def q_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@register(
+    "q_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS merge_consistent,
+           true AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL) — the
+    q_partial_reagg pattern for COUNT DISTINCT, which plain counts
+    cannot re-aggregate: per-(event_type, day) sketches built once are
+    unioned into per-type finals (hll_union_agg), the way a 100 TB
+    rollup maintains daily distincts without rescanning history.
+
+    The sketch estimates themselves are implementation-defined, so the
+    hash-checked output pins the two invariants that matter instead:
+    (a) merge consistency — the unioned daily sketches estimate
+    EXACTLY what one direct whole-table sketch estimates (HLL union is
+    lossless w.r.t. the register state, so any divergence means a
+    broken merge), and (b) the estimate lands within 5% of the exact
+    distinct count, alongside that exact count.
+
+    Scale shape: two map-side-combinable sketch aggregations (state =
+    one HLL register array per group, constant size) + one broadcast-
+    size join of 5-row frames; the raw-data pass happens once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias(
+            "merge_consistent"
+        ),
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_within_5pct"),
+    )

@@ -1,0 +1,78 @@
+"""Plan-shape pins for the round-5 operators (same charter as
+tests/test_plans.py: the scale properties the docstrings claim,
+asserted mechanically)."""
+
+from __future__ import annotations
+
+import pytest
+
+from confluent_example_firehose_spark.plans.inspect import executed_plan
+from confluent_example_firehose_spark.registry import query_fns
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return query_fns()
+
+
+def _plan(fns, name, spark, sf_dir):
+    return executed_plan(fns[name](spark, sf_dir))
+
+
+def test_split_assign_one_shuffle_no_python(spark, sf_dir, fns):
+    plan = _plan(fns, "q_split_assign", spark, sf_dir)
+    # md5 bucketing is a narrow JVM projection; the only exchange is
+    # the 15-key final agg
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_split_leakage_no_pair_join_blowup(spark, sf_dir, fns):
+    plan = _plan(fns, "q_split_leakage", spark, sf_dir)
+    # candidates come from the banded bucket shuffle, never an O(n^2)
+    # pair theta-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_mergeable_sketch_aggs_no_blowup(spark, sf_dir, fns):
+    plan = _plan(fns, "q_hll_mergeable", spark, sf_dir)
+    low = plan.lower()
+    assert "hll_union_agg" in low  # the merge path is really exercised
+    assert "hll_sketch_agg" in low
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_coalesce_is_narrow(spark, sf_dir):
+    """The compaction rewrite must be shuffle-free: coalesce(n) over a
+    parquet scan plans as Coalesce, never Exchange (repartition would
+    shuffle every byte — the thing compaction exists to avoid)."""
+    import os
+    import tempfile
+
+    from confluent_example_firehose_spark.catalog import load_table
+
+    frag = os.path.join(tempfile.mkdtemp(prefix="plan_compact_"), "frag")
+    load_table(spark, sf_dir, "events").limit(1000).repartition(
+        8
+    ).write.mode("overwrite").parquet(frag)
+    compacted = spark.read.parquet(frag).coalesce(2)
+    plan = executed_plan(compacted)
+    assert "Coalesce" in plan
+    assert "Exchange" not in plan
+
+
+def test_stream_restart_uses_idempotent_batch_dirs(spark, sf_dir, fns):
+    """Each restart-phase batch lands in its own batch_id=N dir with
+    overwrite mode — re-running the query function twice must keep the
+    aggregate identical (the idempotency the docstring claims)."""
+    a = {
+        (r["event_type"]): (r["n"], r["sum_id"])
+        for r in fns["q_stream_restart"](spark, sf_dir).collect()
+    }
+    b = {
+        (r["event_type"]): (r["n"], r["sum_id"])
+        for r in fns["q_stream_restart"](spark, sf_dir).collect()
+    }
+    assert a == b
