@@ -440,6 +440,84 @@ def _stream_join_run(stream: DataFrame, root: str) -> DataFrame:
 
 
 @register(
+    "q_stream_join_outer",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.c_user, c.c_ts, c.c_id, p.p_value
+        FROM c LEFT JOIN p
+          ON p.p_user = c.c_user
+         AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    ),
+    wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events)
+    SELECT c_user,
+           count(*) FILTER (WHERE p_value IS NOT NULL) AS n_matched,
+           count(*) FILTER (WHERE p_value IS NULL) AS n_unmatched,
+           {dsum_sql('coalesce(p_value, 0)')} AS matched_value
+    FROM j, wm
+    WHERE p_value IS NOT NULL OR c_ts + INTERVAL 1 HOUR < wm.w
+    GROUP BY c_user
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics q_stream_join's
+    inner join cannot show: an unmatched click is emitted (null
+    purchase) only once the watermark proves no future purchase can
+    match it, i.e. when watermark > c_ts + 1h. That deferred-null
+    emission is THE correctness subtlety of outer stream joins (emit
+    too early and a late match makes the null row wrong; the watermark
+    is what licenses it).
+
+    Hash-checked (r5): matched rows emit eagerly like the inner join;
+    unmatched rows emit exactly for clicks whose match window the
+    final watermark (max ts - 30 min) has closed — the oracle applies
+    the same cutoff to the batch left join. The flush batch
+    (stage_event_files) is what delivers the final watermark; without
+    it the last file's outer rows would sit unemitted forever."""
+    root = _workdir()
+    with _few_partitions(spark):
+        stream = _staged_events(spark, sf_dir, root)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        out = _run_to_memory(joined, root, "append")
+    return out.groupBy("c_user").agg(
+        F.count(F.col("p_value")).alias("n_matched"),
+        F.sum(F.col("p_value").isNull().cast("long")).alias("n_unmatched"),
+        dsum(F.coalesce("p_value", F.lit(0.0))).alias("matched_value"),
+    )
+
+
+@register(
     "q_window_session_stream",
     oracle=f"""
     WITH ordered AS (
