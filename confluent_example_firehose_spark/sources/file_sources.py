@@ -363,24 +363,28 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_text",
     oracle="""
     SELECT count(*) AS n_lines,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars,
-           count(DISTINCT md5(text)) AS n_distinct
+           CAST(sum(length(replace(text, chr(10), ' ')))
+                AS BIGINT) AS n_chars,
+           count(DISTINCT md5(replace(text, chr(10), ' '))) AS n_distinct
     FROM documents
     """,
 )
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-based text source round trip (log-file ingestion shape):
-    documents.text written via the text sink (one line per doc — the
-    corpus is newline-free, asserted in the oracle by the char total)
-    and re-scanned with spark.read.text. The invariant row counts
-    lines, characters, and distinct md5 lines — any splitting, reorder,
+    documents.text written via the text sink (one line per doc —
+    newlines are flattened to spaces first, on both engines, so the
+    one-doc-one-line contract survives any future corpus) and
+    re-scanned with spark.read.text. The invariant row counts lines,
+    characters, and distinct md5 lines — any splitting, reorder,
     truncation, or encoding drift in the text round trip breaks it.
 
     Scale shape: text scans split by line ranges like any file source;
     the aggregate is one map-side-combinable pass."""
     out = os.path.join(_tmp("firehose_text_"), "docs_txt")
     d = load_table(spark, sf_dir, "documents")
-    d.select("text").write.mode("overwrite").text(out)
+    d.select(
+        F.regexp_replace("text", "\n", " ").alias("text")
+    ).write.mode("overwrite").text(out)
     back = spark.read.text(out)
     return back.agg(
         F.count("*").alias("n_lines"),

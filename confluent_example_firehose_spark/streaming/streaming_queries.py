@@ -308,17 +308,18 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survives 100 TB: state is bounded by the lateness window, not
     the key cardinality of all time).
 
-    Hash-checked (r5): the smoke horizon (90 days) exceeds the
-    testdata's event-time span (30 days), so no key's state expires
-    mid-drain and the kept set is exactly one row per distinct
-    (user_id, event_type) — count(DISTINCT user_id) per type in SQL.
-    (Production would use a realistic horizon; eviction behavior is
-    pinned separately by the TTL state tests.)"""
+    Hash-checked (r5): the smoke horizon (365 days) exceeds the
+    testdata's event-time span (30 days; margin covers generator
+    drift), so no key's state expires mid-drain and the kept set is
+    exactly one row per distinct (user_id, event_type) —
+    count(DISTINCT user_id) per type in SQL. (Production would use a
+    realistic horizon; eviction behavior is pinned separately by the
+    TTL state tests.)"""
     root = _workdir()
     with _few_partitions(spark):
         stream = _staged_events(spark, sf_dir, root)
         deduped = stream.withWatermark(
-            "ts", "90 days"
+            "ts", "365 days"
         ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
         out = _run_to_memory(deduped, root, "append")
     return out.groupBy("event_type").agg(F.count("*").alias("n_kept"))
