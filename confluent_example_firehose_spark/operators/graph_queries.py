@@ -1,0 +1,230 @@
+"""Graph operators: multi-source BFS hop distances and PageRank over a
+purchase graph — the link-graph analytics a crawl-scale training
+pipeline runs for quality signals (a page's rank / distance from
+trusted seeds is a standard pretraining quality feature, cf. the
+harmonic-centrality filter in Common Crawl derivatives).
+
+Graph derivation (deterministic from the testdata): the bipartite
+purchase graph customer→supplier via orders ⋈ lineitem, node-encoded
+as customer = 2·custkey, supplier = 2·suppkey + 1, then symmetrized
+(both edge directions) so walks mix. ~48k distinct edges at sf0.01.
+
+Determinism rule: every quantity is an integer end to end.
+ - BFS distances are integer mins — trivially exact.
+ - PageRank runs in FIXED-POINT INTEGER arithmetic: ranks are scaled
+   by PR_SCALE and each edge contribution is (rank · 85) div
+   (100 · outdeg) — integer division, which Spark (`div`, truncation)
+   and DuckDB (`//`, floor) compute identically on non-negative
+   operands. A float PageRank would be partition-order-dependent in
+   the sum and engine-dependent in the last ULP; the fixed-point form
+   is bit-identical everywhere and loses at most outdeg quanta of
+   1e-9 mass per node per round (the dangling/rounding residue is
+   deliberately dropped, like the classic "lost mass" formulation).
+
+Iteration shape (both queries): the per-round big shuffle is
+ranks/frontier ⋈ edges on the src key — the same key every round, so
+at scale the edge table is hash-partitioned once and reused; the
+per-round groupBy lands on the node key. Lineage is truncated every
+round with localCheckpoint(eager=True) (the q_dedup_clusters lesson:
+each round references the previous frame twice — union + join — so an
+unchecked plan doubles per iteration). Rounds are FIXED (BFS_HOPS /
+PR_ITERS), so the DuckDB oracle unrolls the exact same ladder and the
+outputs hash-match.
+
+No reference twin (the reference is a fixed-function metrics
+consumer); north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+BFS_HOPS = 4       # fixed BFS rounds (oracle unrolls the same ladder)
+BFS_SEED_MOD = 50  # seed customers: custkey % BFS_SEED_MOD == 0
+PR_ITERS = 3       # fixed PageRank rounds
+PR_SCALE = 1_000_000_000  # fixed-point scale: rank 1.0 == 1e9
+PR_TOPK = 30
+
+# Shared SQL for the symmetrized purchase graph (DuckDB oracle side).
+_EDGES_SQL = """
+    d AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+        SELECT src, dst FROM d UNION ALL SELECT dst AS src, src AS dst FROM d
+    )
+"""
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct (src, dst) purchase-graph edges.
+
+    Scale shape: one fact-fact equi-join on the order key (both sides
+    shuffle-partitioned on it) collapsed by distinct to the far smaller
+    (customer × supplier) incidence set BEFORE the union doubles it —
+    at 100 TB the distinct is the load-bearing step (lineitem has many
+    rows per (cust, supp); edges are bounded by the incidence)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _bfs_oracle() -> str:
+    sql = f"""
+    WITH {_EDGES_SQL},
+    r0 AS (
+        SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        FROM e
+        WHERE src % 2 = 0 AND (src // 2) % {BFS_SEED_MOD} = 0
+    )"""
+    prev = "r0"
+    for k in range(1, BFS_HOPS + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, r.dist + 1 AS dist
+            FROM {prev} r JOIN e ON e.src = r.node
+        ) GROUP BY node
+    )"""
+        prev = f"r{k}"
+    return sql + f"\n    SELECT node, dist FROM {prev}"
+
+
+@register("q_graph_bfs", oracle=_bfs_oracle())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from the seed-customer
+    set (custkey % {BFS_SEED_MOD} == 0) to every node reachable within
+    {BFS_HOPS} hops of the purchase graph — the trusted-seed distance
+    feature of link-graph quality scoring.
+
+    Scale shape: {BFS_HOPS} fixed rounds of frontier ⋈ edges (src key)
+    + groupBy-min (node key) with localCheckpoint lineage truncation —
+    identical round shape to connected_components (curation_queries),
+    but with a FIXED round count so the oracle can unroll the same
+    ladder exactly. Distances are integers; no float anywhere."""
+    edges = purchase_edges(spark, sf_dir)
+    edges = edges.persist()
+    try:
+        seeds = (
+            edges.select("src")
+            .distinct()
+            .filter(
+                (F.col("src") % 2 == 0)
+                & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0)
+            )
+            .select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("long").alias("dist"),
+            )
+        )
+        reached = seeds.localCheckpoint(eager=True)
+        for _ in range(BFS_HOPS):
+            msgs = edges.join(
+                reached.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            reached = (
+                reached.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            reached = reached.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return reached
+
+
+def _pagerank_oracle() -> str:
+    base = 15 * PR_SCALE // 100
+    sql = f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM n)"""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node,
+               CAST({base} + coalesce(s.c, 0) AS BIGINT) AS rank
+        FROM n LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.rank * 85) // (100 * d.outdeg)) AS c
+            FROM {prev} r
+            JOIN deg d ON d.node = r.node
+            JOIN e ON e.src = r.node
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )"""
+        prev = f"r{k}"
+    return sql + f"""
+    SELECT node, rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT {PR_TOPK}"""
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85, {PR_ITERS} rounds)
+    over the symmetrized purchase graph; top {PR_TOPK} nodes by
+    (rank desc, node asc) — a total order, so the LIMIT'd set is
+    deterministic. See the module docstring for why the arithmetic is
+    integer (engine-portable bit-exactness) and what mass the integer
+    division drops.
+
+    Scale shape: per round ONE shuffle join ranks ⋈ edges on src (the
+    same key every round) + groupBy-sum on dst + a left join back onto
+    the node universe; deg and ranks are node-sized (≪ edges). Top-K
+    is orderBy().limit() = TakeOrderedAndProject, never a global
+    window."""
+    edges = purchase_edges(spark, sf_dir)
+    edges = edges.persist()
+    try:
+        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        nodes = edges.select("src").distinct().select(
+            F.col("src").alias("node")
+        )
+        nodes = nodes.localCheckpoint(eager=True)
+        base = 15 * PR_SCALE // 100
+        ranks = nodes.select(
+            "node", F.lit(PR_SCALE).cast("long").alias("rank")
+        )
+        for _ in range(PR_ITERS):
+            contrib = (
+                ranks.withColumnRenamed("node", "src")
+                .join(deg, "src")
+                .join(edges, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOPK)

@@ -116,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import analytics_queries  # noqa: F401
     from .operators import scoring_queries  # noqa: F401
     from .operators import split_queries  # noqa: F401
+    from .operators import graph_queries  # noqa: F401
 
     # Driver-priority ordering, three tiers inside the 50-entry window:
     #   1. never driver-checked (no CORRECTNESS row in any round) — in

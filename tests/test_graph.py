@@ -1,0 +1,106 @@
+"""Unit tests for the graph operators (graph_queries): BFS distances
+and fixed-point PageRank checked by hand on tiny graphs, plus the
+integer-division portability property the oracle depends on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from confluent_example_firehose_spark.operators.graph_queries import (
+    PR_SCALE,
+    purchase_edges,
+)
+
+
+def _bfs(spark, edges, seeds, hops):
+    """Reference mini-BFS mirroring the query's round shape."""
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    reached = spark.createDataFrame(
+        [(s, 0) for s in seeds], ["node", "dist"]
+    )
+    for _ in range(hops):
+        msgs = e.join(
+            reached.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        reached = (
+            reached.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return {r["node"]: r["dist"] for r in reached.collect()}
+
+
+def test_bfs_min_distance_on_path_graph(spark):
+    # 1 - 2 - 3 - 4 (undirected), seed {1}: dists 0,1,2,3; node 5
+    # disconnected and absent from the result.
+    ud = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (5, 6), (6, 5)]
+    d = _bfs(spark, ud, [1], 4)
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    ud = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    d = _bfs(spark, ud, [1, 4], 4)
+    assert d == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_integer_div_truncation_matches_duckdb_floor(spark):
+    # The PageRank oracle depends on Spark `div` (truncate) and DuckDB
+    # `//` (floor) agreeing — true on the non-negative operands ranks
+    # and degrees always are. Pin the Spark side's value.
+    import duckdb
+
+    row = spark.range(1).select(
+        F.expr("(85 * CAST(1000000007 AS BIGINT)) div (100 * 7)").alias("q")
+    ).first()
+    duck = duckdb.sql("SELECT (85 * CAST(1000000007 AS BIGINT)) // (100 * 7)").fetchone()[0]
+    assert row["q"] == duck
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    # Two nodes joined by one undirected edge: each round every node
+    # sends 0.85·rank to the other and keeps base 0.15 — ranks stay
+    # exactly PR_SCALE-ish and equal by symmetry.
+    from confluent_example_firehose_spark.operators import graph_queries as g
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = e.select("src").distinct().select(F.col("src").alias("node"))
+    base = 15 * PR_SCALE // 100
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+    vals = sorted(r["rank"] for r in ranks.collect())
+    assert vals[0] == vals[1]  # symmetry
+    # mass: base + 0.85·rank with integer truncation — within 1 quantum
+    assert abs(vals[0] - PR_SCALE) <= 1
+
+
+def test_purchase_edges_symmetrized_and_distinct(spark, sf_dir):
+    e = purchase_edges(spark, sf_dir)
+    n = e.count()
+    assert n % 2 == 0 and n > 0
+    assert e.distinct().count() == n
+    # every edge has its reverse
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e.exceptAll(rev).count() == 0
+    # parity encoding: src even <=> customer, odd <=> supplier; the
+    # bipartite derivation never links same-parity nodes
+    bad = e.filter((F.col("src") % 2) == (F.col("dst") % 2)).count()
+    assert bad == 0
