@@ -88,6 +88,40 @@ def shingle_hashes_col(w: Column, n: int = 3) -> Column:
     )
 
 
+def portable_hash60(s: Column) -> Column:
+    """Engine-portable 60-bit content hash: the first 15 hex digits of
+    md5(s) parsed as an integer. Any engine or language reproduces it
+    (DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)), which
+    makes fingerprints CONTENT-ADDRESSABLE across systems — the
+    property a dedup state store needs when it outlives one engine
+    (and the property that lets the correctness oracle recompute
+    SimHash fingerprints exactly; xxhash64 is Spark-only). 60 bits
+    keeps the value positive in a signed 64-bit long on both sides.
+    md5 costs more than xxhash64 per shingle, but shingle hashing is a
+    narrow projection — it never shuffles — so the trade buys
+    portability without changing any plan shape."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def portable_shingle_hashes_col(w: Column, n: int = 3) -> Column:
+    """Distinct 60-bit PORTABLE shingle hashes from a MATERIALIZED
+    words column: portable_hash60 over the space-joined n-word shingle
+    (the string an oracle engine can rebuild verbatim)."""
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: portable_hash60(
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                )
+            ),
+        )
+    )
+
+
 def doc_shingle_hashes(
     df: DataFrame,
     id_col: str,
@@ -95,9 +129,12 @@ def doc_shingle_hashes(
     n: int = 3,
     out: str = "sh",
     keep_empty: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingle-hash array) per document, as a two-step projection
-    pipeline (words materialized first) so shingling stays O(n_words)."""
+    pipeline (words materialized first) so shingling stays O(n_words).
+    portable=True swaps xxhash64 for the oracle-reproducible
+    portable_hash60 (see its docstring for the trade)."""
     staged = df.select(F.col(id_col).alias("_id"), words(text_col).alias("_w"))
     if not keep_empty:
         # Equivalent to filtering size(out) > 0 (>= n words <=> some
@@ -105,7 +142,12 @@ def doc_shingle_hashes(
         # would be substitution-pushed below the projection and
         # re-evaluate the whole shingle expression per row.
         staged = staged.filter(F.size("_w") >= n)
-    return staged.select("_id", shingle_hashes_col(F.col("_w"), n).alias(out))
+    hashes = (
+        portable_shingle_hashes_col(F.col("_w"), n)
+        if portable
+        else shingle_hashes_col(F.col("_w"), n)
+    )
+    return staged.select("_id", hashes.alias(out))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -261,11 +303,18 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit position over
     the shingle-hash set (bit b of fp = 1 iff more shingle hashes have
-    bit b set than not; ties -> 0).
+    bit b set than not; ties -> 0). portable=True votes over
+    portable_hash60 shingle hashes instead of xxhash64 — those carry
+    60 meaningful bits, so fp bits 60-63 vote all-zero and the
+    fingerprint is effectively 60-bit; Hamming distances and the
+    pigeonhole block recall argument are unchanged (equal high bits
+    never add distance), and the whole fingerprint becomes
+    recomputable by the DuckDB oracle.
 
     Shingle hashing stays JVM-side; the 64-way bit vote runs as an
     Arrow-batched pandas UDF. Deliberate exception to the
@@ -292,7 +341,7 @@ def simhash_fingerprints(
             out[i] = np.int64(fp.astype(np.int64))
         return pd.Series(out)
 
-    sh = doc_shingle_hashes(df, id_col, text_col, n, "_sh")
+    sh = doc_shingle_hashes(df, id_col, text_col, n, "_sh", portable=portable)
     return sh.select("_id", _simhash(F.col("_sh")).alias("fp"))
 
 

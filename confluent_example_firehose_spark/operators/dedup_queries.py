@@ -196,28 +196,73 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", oracle=None)  # rows-only BY DESIGN, see below
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints -> pigeonhole blocking
-    (4 x 16-bit blocks; full recall for Hamming d <= 3) -> hamming64
-    verify. No cross join anywhere: candidate generation is one
-    bucket-shuffle, verification joins fingerprints back by id — the
-    same candidate/verify split as the MinHash pipeline, so the shape
-    survives 100 TB.
+# Shared oracle scaffold: recompute the PORTABLE SimHash fingerprints
+# (portable_hash60 shingles -> 60-bit majority vote, ties -> 0) in pure
+# DuckDB SQL, then enumerate all pairs within the Hamming radius. The
+# O(n^2) pair scan is oracle-side only (feasible at sf0.01); the Spark
+# side never leaves the pigeonhole-bucketed candidate set.
+def _simhash_pairs_oracle(radius: int) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   [CAST(concat('0x',
+                        substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+                        AS BIGINT)
+                    for i in range(1, len(ws) - 1)]) AS hs
+        FROM w WHERE len(ws) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    v AS (
+        SELECT doc_id, t.range AS bit,
+               CASE WHEN 2 * sum((h >> CAST(t.range AS INTEGER)) & 1)
+                         > count(*)
+                    THEN CAST(1 AS BIGINT) << CAST(t.range AS INTEGER)
+                    ELSE 0 END AS bitval
+        FROM ex CROSS JOIN range(60) t
+        GROUP BY doc_id, t.range
+    ),
+    fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS fp FROM v
+           GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.fp, b.fp)) <= {radius}
+    """
 
-    Rows-only adjudication (r5): unlike q_dedup_near, this output is
-    NOT oracle-able — the pair set is defined by hamming distance over
-    xxhash64-derived fingerprints, which no SQL engine can recompute,
-    and it does not coincide with any Jaccard threshold (measured at
-    sf0.01: 15 of the 25 jac>=0.9 pairs fall within d<=3, several AT
-    d=3). The d<=3 full-recall contract is pinned by unit tests
-    (tests/test_dedup.py) instead."""
+
+@register("q_dedup_simhash", oracle=_simhash_pairs_oracle(3))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit PORTABLE fingerprints -> pigeonhole
+    blocking (4 x 16-bit blocks; full recall for Hamming d <= 3) ->
+    hamming64 verify. No cross join anywhere: candidate generation is
+    one bucket-shuffle, verification joins fingerprints back by id —
+    the same candidate/verify split as the MinHash pipeline, so the
+    shape survives 100 TB.
+
+    Hash-checked (r5; previously rows-only): fingerprints now vote
+    over portable_hash60 shingle hashes (md5-derived — see
+    dedup.portable_hash60), so the DuckDB oracle recomputes the EXACT
+    fingerprints and enumerates every pair with d <= 3; the pigeonhole
+    d<=3 full-recall contract (also pinned by tests/test_dedup.py)
+    makes the bucketed Spark output equal to the O(n^2) oracle as long
+    as no bucket exceeds the skew cap — at this corpus's fingerprint
+    spread buckets are single digits. The same conversion gives the
+    dedup state store content-addressable fingerprints: any engine can
+    reproduce them from text alone."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # fp feeds three plan branches (blocking + both verify joins);
     # persist so the scan->shingle->UDF subtree runs once, not 3x.
     # (At cluster scale: MEMORY_AND_DISK, one fingerprint per doc —
     # 16 bytes/row of state, far smaller than the input.)
-    fp = simhash_fingerprints(d, "doc_id", "text").persist()
+    fp = simhash_fingerprints(d, "doc_id", "text", portable=True).persist()
     cands = simhash_candidate_pairs(fp)
     a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
     b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
@@ -227,13 +272,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
+            hamming64(F.col("fpa"), F.col("fpb")).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
     )
 
 
-@register("q_dedup_simhash8", oracle=None)  # rows-only by design (see q_dedup_simhash)
+@register("q_dedup_simhash8", oracle=_simhash_pairs_oracle(7))
 def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, WIDE-radius variant (r3 roadmap follow-through:
     'multi-bucket probing for 4 < d <= 8'): 8 x 8-bit pigeonhole blocks
@@ -251,9 +296,11 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 default that broke the guarantee at ~65k docs.
     tests/test_dedup.py pins d<=7 recall at a bucket size the old cap
     would have silently dropped. Same candidate/verify split, same
-    single bucket shuffle as q_dedup_simhash."""
+    single bucket shuffle as q_dedup_simhash — and hash-checked the
+    same way since r5 (portable fingerprints; oracle enumerates all
+    d <= 7 pairs; see q_dedup_simhash)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    fp = simhash_fingerprints(d, "doc_id", "text").persist()
+    fp = simhash_fingerprints(d, "doc_id", "text", portable=True).persist()
     cands = simhash_candidate_pairs(
         fp, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP
     )
@@ -265,7 +312,7 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            hamming64(F.col("fpa"), F.col("fpb")).alias("hamming"),
+            hamming64(F.col("fpa"), F.col("fpb")).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 7)
     )

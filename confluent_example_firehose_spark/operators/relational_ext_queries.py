@@ -971,3 +971,71 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = o.join(F.broadcast(d), o.pr_key.eqNullSafe(d.pr_key))
     return j.groupBy("bucket_name").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q_cdc_materialize",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        FROM events
+    ),
+    last AS (
+        SELECT user_id, op, cents FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n_changes,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletes
+        FROM log GROUP BY user_id
+    )
+    SELECT a.user_id, l.cents, a.n_changes, a.n_deletes
+    FROM last l JOIN agg a USING (user_id)
+    WHERE l.op = 'U'
+    """,
+)
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log materialization: apply an ordered upsert/delete
+    log (events keyed by user_id, 'error' = tombstone, anything else =
+    upsert of the value in exact cents, total order (ts, event_id))
+    down to the current-state table — the Debezium-feed / streaming-
+    table-maintenance primitive q_scd2_merge's history view doesn't
+    cover: deletes REMOVE the key instead of versioning it. Keys whose
+    LAST change is a tombstone are absent from the result; per-key
+    change/delete counts ride along as audit columns.
+
+    Scale shape: ONE partial+final hash aggregate — max_by(struct(op,
+    cents), struct(ts, event_id)) resolves last-writer-wins with
+    map-side combine (each input split collapses to <= n_keys rows
+    before the shuffle; the oracle's window formulation would sort —
+    same rule as q_last_value). Tombstone filtering is a post-agg
+    filter on the key-sized result."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    g = log.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "cents"), F.struct("ts", "event_id")
+        ).alias("last"),
+        F.count("*").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias(
+            "n_deletes"
+        ),
+    )
+    return g.filter(F.col("last.op") == "U").select(
+        "user_id",
+        F.col("last.cents").alias("cents"),
+        "n_changes",
+        "n_deletes",
+    )
