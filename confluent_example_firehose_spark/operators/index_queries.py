@@ -531,3 +531,94 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("est_within_5pct"),
     )
+
+
+# Histogram-sketch quantiles: bin width in exact cents. 500 cents puts
+# ~40 bins over the events value range — estimate error is bounded by
+# one bin width by construction.
+QH_BIN_CENTS = 500
+
+
+@register(
+    "q_quantile_mergeable",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) // {QH_BIN_CENTS} AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                    AS BIGINT) AS c,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM merged
+    )
+    SELECT event_type, max(n) AS n,
+           CAST(min(CASE WHEN 2 * c >= n THEN bin END) * {QH_BIN_CENTS}
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN 10 * c >= 9 * n THEN bin END)
+                * {QH_BIN_CENTS} AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN 100 * c >= 99 * n THEN bin END)
+                * {QH_BIN_CENTS} AS BIGINT) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches via fixed-bin histograms — the
+    q_hll_mergeable pattern for percentiles: per-(type, day) histogram
+    partials (bin = value cents div {QH_BIN_CENTS}, count) merge by
+    plain count addition into per-type cumulative histograms, and the
+    p50/p90/p99 estimates are each bin's lower bound at the first
+    cumulative count crossing the rank — error bounded by one bin
+    width, arithmetic all-integer (rank crossings are 2c >= n /
+    10c >= 9n / 100c >= 99n — no float quantile math to diverge
+    between engines). This is how a 100 TB rollup maintains latency
+    percentiles without keeping raw values: daily partials are tiny
+    (bins x groups), re-aggregable forever, and the raw-data pass
+    happens once. t-digest/KLL trade the fixed bins for adaptive ones;
+    the merge-by-addition shape here is identical.
+
+    Scale shape: one map-side-combinable count agg over the raw data,
+    one bins-sized merge agg, window + final agg over bins x groups
+    (bounded by construction — ~40 bins x 5 types)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr(
+                f"CAST(round(value * 100) AS BIGINT) div {QH_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type").orderBy("bin"))
+        .alias("c"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    def est(cond, name):
+        return (
+            F.min(F.when(cond, F.col("bin"))) * QH_BIN_CENTS
+        ).cast("long").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        est(2 * F.col("c") >= F.col("n"), "p50_cents"),
+        est(10 * F.col("c") >= 9 * F.col("n"), "p90_cents"),
+        est(100 * F.col("c") >= 99 * F.col("n"), "p99_cents"),
+    )

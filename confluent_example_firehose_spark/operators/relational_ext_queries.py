@@ -1008,12 +1008,13 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST change is a tombstone are absent from the result; per-key
     change/delete counts ride along as audit columns.
 
-    Scale shape: ONE partial+final hash aggregate — max_by(struct(op,
+    Scale shape: ONE partial+final aggregate — max_by(struct(op,
     cents), struct(ts, event_id)) resolves last-writer-wins with
     map-side combine (each input split collapses to <= n_keys rows
-    before the shuffle; the oracle's window formulation would sort —
-    same rule as q_last_value). Tombstone filtering is a post-agg
-    filter on the key-sized result."""
+    before the shuffle; struct-keyed max_by plans as SortAggregate,
+    but the per-partition sort is on the group key, NOT the oracle's
+    global per-key window sort over every change). Tombstone filtering
+    is a post-agg filter on the key-sized result."""
     ev = load_table(spark, sf_dir, "events")
     log = ev.select(
         "user_id",

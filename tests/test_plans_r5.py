@@ -76,3 +76,68 @@ def test_stream_restart_uses_idempotent_batch_dirs(spark, sf_dir, fns):
         for r in fns["q_stream_restart"](spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_cdc_materialize_is_hash_agg_not_window(spark, sf_dir, fns):
+    plan = _plan(fns, "q_cdc_materialize", spark, sf_dir)
+    # last-writer-wins resolves as a partial+final max_by aggregate
+    # (struct-keyed max_by plans as SortAggregate, but the partial
+    # before the exchange IS the map-side combine — each input split
+    # collapses to <= n_keys rows pre-shuffle), never the oracle's
+    # global window formulation
+    assert "partial_max_by" in plan
+    assert plan.index("partial_max_by") > plan.index("Exchange")  # below it
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_quantile_mergeable_single_raw_pass(spark, sf_dir, fns):
+    plan = _plan(fns, "q_quantile_mergeable", spark, sf_dir)
+    # one scan of events (daily partials), everything downstream runs
+    # on bins x groups
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_pagerank_topk_is_take_ordered(spark, sf_dir, fns):
+    plan = _plan(fns, "q_graph_pagerank", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """The engine supports Spark's runtime bloom-filter semi-join
+    pruning: a selective dim-side filter injects might_contain() into
+    the fact scan when broadcast is off (the 100 TB shuffle-join case —
+    rows that cannot match are dropped BEFORE the exchange). AQE/CBO
+    thresholds make it size-gated in production; the test pins that the
+    rewrite fires under the thresholds scaled to test data."""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = executed_plan(j)
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
