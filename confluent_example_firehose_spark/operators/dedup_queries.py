@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
+    bucket_pairs,
     doc_shingle_hashes,
     fan_out,
     hamming64,
@@ -412,3 +413,92 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("jac") >= INCR_JAC).cast("long").alias("is_dup"),
         )
     )
+
+
+ER_TOPN = 25  # deterministic top-N matched pairs (score desc, ids asc)
+
+
+@register(
+    "q_entity_resolution",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               right(c_name, 3) AS name_sfx,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(3 * CAST(a.name_sfx = b.name_sfx AS INTEGER)
+                    + 4 * CAST(abs(a.balc - b.balc) <= 1000 AS INTEGER)
+                    + 2 * CAST(abs(a.balc - b.balc) <= 10000 AS INTEGER)
+                    AS BIGINT) AS score
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, score FROM pairs
+    ORDER BY score DESC, id_a, id_b
+    LIMIT {ER_TOPN}
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (record linkage): blocking + pairwise
+    agreement scoring over customer records — the identity-dedup twin
+    of text near-dup, run the same way: candidate pairs come from ONE
+    bucket shuffle on the blocking key (nation, segment) via the same
+    bucket_pairs kernel the LSH pipelines use (never an O(n^2) cross
+    join), then a Fellegi-Sunter-style integer agreement score (name
+    suffix, balance proximity at two radii) ranks the candidates; top
+    {ER_TOPN} by (score desc, ids) is a total order. On real data the
+    blocking key is a normalized name/zip and the weights are
+    log-likelihood ratios; the plan is identical.
+
+    Scale shape: bucket_pairs keeps per-block state to an id list
+    (block sizes are bounded by the blocking-key design — that is what
+    makes ER feasible at all); attribute lookup is two joins against
+    the dim-sized customer table; top-N is TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("right(c_name, 3)").alias("name_sfx"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("balc"),
+    )
+    banded = c.select(
+        F.col("c_custkey").alias("_id"), "c_nationkey", "c_mktsegment"
+    )
+    pairs = bucket_pairs(
+        banded, ["c_nationkey", "c_mktsegment"], max_bucket=4096
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("name_sfx").alias("sfx_a"),
+        F.col("balc").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("name_sfx").alias("sfx_b"),
+        F.col("balc").alias("bal_b"),
+    )
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                3 * (F.col("sfx_a") == F.col("sfx_b")).cast("long")
+                + 4
+                * (
+                    F.abs(F.col("bal_a") - F.col("bal_b")) <= 1000
+                ).cast("long")
+                + 2
+                * (
+                    F.abs(F.col("bal_a") - F.col("bal_b")) <= 10000
+                ).cast("long")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(ER_TOPN)

@@ -337,3 +337,141 @@ def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+MMR_K = 8          # selections
+MMR_L = 0.7        # lambda: relevance weight (diversity weight = 0.3)
+
+
+def _mmr_oracle() -> str:
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rel AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(
+                   (SELECT v FROM e WHERE vec_id = 0), e.v) AS rel,
+               e.v
+        FROM e WHERE e.vec_id <> 0
+    ),
+    p1 AS (SELECT 1 AS rank, vec_id, rel AS score, v FROM rel
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    s1 AS (SELECT rank, vec_id, score, v FROM p1)"""
+    for k in range(2, MMR_K + 1):
+        sql += f""",
+    p{k} AS (
+        SELECT {k} AS rank, r.vec_id,
+               {MMR_L} * r.rel
+                 - {round(1 - MMR_L, 1)} * (
+                     SELECT max(list_cosine_similarity(r.v, s.v))
+                     FROM s{k - 1} s) AS score,
+               r.v
+        FROM rel r
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM s{k - 1})
+        ORDER BY score DESC, r.vec_id LIMIT 1
+    ),
+    s{k} AS (SELECT * FROM s{k - 1} UNION ALL SELECT * FROM p{k})"""
+    return sql + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(score, 6) AS score
+    FROM s{MMR_K}"""
+
+
+def mmr_select(
+    rel: DataFrame, k: int, lam: float = MMR_L
+) -> list[tuple[int, int, float]]:
+    """Greedy MMR over a (vec_id, rel, v, nv) relevance frame: returns
+    [(rank, vec_id, score)] with step 1 = pure-relevance argmax and
+    later steps argmax(lam*rel - (1-lam)*max_cos_to_selected), vec_id
+    tiebreak. Stops early if candidates run out."""
+    first = (
+        rel.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select("vec_id", F.col("rel").alias("score"))
+        .first()
+    )
+    if first is None:
+        return []
+    picked = [(1, first["vec_id"], first["score"])]
+    for step in range(2, k + 1):
+        sel_ids = [p[1] for p in picked]
+        sel = rel.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("vec_id").alias("sid"),
+            F.col("v").alias("sv"),
+            F.col("nv").alias("sn"),
+        )
+        cand = (
+            rel.filter(~F.col("vec_id").isin(sel_ids))
+            .join(F.broadcast(sel))
+            .select(
+                "vec_id",
+                "rel",
+                (
+                    dot(F.col("sv"), F.col("v"))
+                    / (F.col("sn") * F.col("nv"))
+                ).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.max("sim").alias("maxsim"),
+            )
+            .select(
+                "vec_id",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(round(1 - lam, 1)) * F.col("maxsim")
+                ).alias("score"),
+            )
+        )
+        row = cand.orderBy(F.desc("score"), "vec_id").limit(1).first()
+        if row is None:
+            break
+        picked.append((step, row["vec_id"], row["score"]))
+    return picked
+
+
+@register("q_similarity_mmr", oracle=_mmr_oracle())
+def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily select {MMR_K} results for
+    query vector 0 balancing relevance against redundancy — step 1
+    takes the most relevant vector (score = rel), each later step takes
+    argmax of {MMR_L}*rel - {1-MMR_L}*max_cos_to_selected over the
+    remainder (vec_id tiebreak) — the diversified-retrieval primitive
+    RAG rerankers and eval-set samplers run after ANN recall. All
+    cosines are the bit-identical sequential double folds of
+    q_similarity_topk, and lambda arithmetic is the same IEEE
+    expression on both engines, so the argmax frontier cannot diverge;
+    the oracle unrolls the greedy loop as {MMR_K} CTE stages.
+
+    Scale shape: the relevance table (one broadcast-query corpus pass)
+    persists across rounds; each round joins the {MMR_K}-row selected
+    set (broadcast) to compute the marginal penalty and takes a global
+    TakeOrdered(1) — k passes over a corpus-sized frame, the honest
+    cost of exact MMR (production systems run it on the ANN top-N,
+    which is q_similarity_lsh composed in front of this)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")))
+            .alias("rel"),
+            "v",
+            "nv",
+        )
+        .persist()
+    )
+    try:
+        picked = mmr_select(rel, MMR_K)
+    finally:
+        rel.unpersist()
+    return spark.createDataFrame(
+        [(k, vid, float(s)) for k, vid, s in picked],
+        "rank long, vec_id long, score double",
+    ).select("rank", "vec_id", F.round("score", 6).alias("score"))

@@ -141,3 +141,10 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_entity_resolution_blocked_no_cross_join(spark, sf_dir, fns):
+    plan = _plan(fns, "q_entity_resolution", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
