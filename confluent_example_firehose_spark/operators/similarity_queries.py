@@ -146,6 +146,52 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    """The sign-bucket expression as DuckDB SQL with the SAME plane
+    literals the Spark side uses (repr() round-trips doubles exactly,
+    so both engines parse the identical IEEE value), and the same
+    sequential-fold dot product (list_dot_product ≡ the vector.py
+    fold, the bit-identity q_similarity_topk already relies on). Bits
+    are disjoint powers of two, so + is the bitwise OR."""
+    terms = [
+        f"(CASE WHEN list_dot_product([{', '.join(repr(x) for x in p)}]"
+        f", v) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def _lsh_oracle(multiprobe: bool) -> str:
+    planes = _hyperplanes(8, 64)
+    probe = (
+        """
+    m(mask) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+    p AS (SELECT query_id, qv, xor(qbucket, mask) AS probe_bucket
+          FROM q CROSS JOIN m)"""
+        if multiprobe
+        else """
+    p AS (SELECT query_id, qv, qbucket AS probe_bucket FROM q)"""
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v, {_lsh_bucket_sql(planes)} AS bucket FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+          FROM b WHERE vec_id < {N_QUERY_VECS}),{probe}
+    SELECT query_id, neighbor_id, cos FROM (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, b.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, b.v) DESC,
+                            b.vec_id) AS rn
+        FROM p JOIN b ON b.bucket = p.probe_bucket
+                     AND b.vec_id <> p.query_id
+    ) WHERE rn <= {TOP_K}
+    """
+
+
 @register("q_similarity_ivf", oracle=None)  # rows-only: IVF ANN
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the other standard scale path next to
@@ -223,15 +269,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_similarity_lsh", oracle=None)  # rows-only: bucketed ANN
+@register("q_similarity_lsh", oracle=_lsh_oracle(multiprobe=False))
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN — the 100 TB path: bucket vectors by
     sign-pattern (8 planes -> 256 buckets), search only within the
     query's bucket. Shuffles on bucket id instead of cross-joining.
 
-    Recall is traded for the O(n^2) -> O(n) candidate cut; production
-    would probe multi-bucket (bit flips). Rows-only: bucket membership
-    is implementation-defined."""
+    Recall is traded for the O(n^2) -> O(n) candidate cut; the
+    multi-bucket production variant is q_similarity_lsh_multiprobe.
+    Hash-checked (r5; previously rows-only): bucket membership is a
+    deterministic function of the seeded plane literals and the
+    bit-identical dot fold, so the oracle recomputes the EXACT buckets
+    from the same literals (see _lsh_bucket_sql) and replays the
+    bucket-restricted top-k."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -269,7 +319,9 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_similarity_lsh_multiprobe", oracle=None)  # rows-only: ANN
+@register(
+    "q_similarity_lsh_multiprobe", oracle=_lsh_oracle(multiprobe=True)
+)
 def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (the q_similarity_lsh docstring's 'production
     would probe multi-bucket' follow-through, r3 roadmap): each query
