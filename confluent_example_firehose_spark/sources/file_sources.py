@@ -440,3 +440,105 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_id"),
         F.sum("user_id").alias("sum_user"),
     )
+
+
+@register(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT
+        count(*) AS n,
+        CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+            AS n_priced,
+        CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      END) AS BIGINT) AS price_cents
+    FROM orders
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on scan (mergeSchema): batch 1 writes orders
+    WITHOUT the price column, batch 2 (a later producer version) adds
+    it; one mergeSchema read reconciles both footers into the union
+    schema, with the missing column NULL for old files — the
+    schema-drift reality of any long-lived 100 TB ingest directory.
+    The aggregate proves the merge end-to-end: total rows span both
+    batches, price is present on exactly the batch-2 rows, and the
+    cent sum matches the original table.
+
+    Scale shape: mergeSchema costs one footer read per file at
+    planning (production bounds it with a declared read schema once
+    drift stabilizes); the data pass is a plain parquet scan."""
+    out = os.path.join(_tmp("firehose_evo_"), "orders_evo")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").parquet(out)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.count("price_cents").alias("n_priced"),
+        F.sum("price_cents").alias("price_cents"),
+    )
+
+
+@register(
+    "q_scan_json_corrupt",
+    oracle="""
+    SELECT
+        CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+            AS n_good,
+        CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+            AS n_corrupt,
+        CAST(sum(CASE WHEN event_id % 7 <> 0 THEN user_id END)
+             AS BIGINT) AS sum_user
+    FROM events
+    """,
+)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerant JSON ingest (PERMISSIVE +
+    columnNameOfCorruptRecord): a staged JSONL where every 7th event
+    is truncated garbage parses without failing the job — bad lines
+    land in the _corrupt audit column, good lines parse fully, and
+    NOTHING is silently dropped (n_good + n_corrupt = the staged line
+    count). That quarantine-not-crash contract is what keeps a 100 TB
+    ingest running when an upstream producer ships a bad day.
+
+    Integer-only fields keep the round trip exact (doubles through
+    JSON text would re-enter float-format territory).
+
+    Scale shape: narrow line parse, one final one-row aggregate."""
+    out = os.path.join(_tmp("firehose_corrupt_"), "events_jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    line = F.when(
+        F.col("event_id") % 7 == 0, F.lit('{"event_id": broken')
+    ).otherwise(
+        F.to_json(F.struct("event_id", "user_id", "event_type"))
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "event_id long, user_id long, event_type string, _corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("user_id"))).alias(
+            "sum_user"
+        ),
+    )
