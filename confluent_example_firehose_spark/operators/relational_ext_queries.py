@@ -1040,3 +1040,59 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_changes",
         "n_deletes",
     )
+
+
+@register(
+    "q_nested_analytics",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) AS n_items,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+               AS n_big,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_quantity >= 25), 0) AS BIGINT)
+               AS big_cents,
+           CAST(max(l_linenumber) AS BIGINT) AS max_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_nested_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data analytics: lineitems collapse into ONE array<struct>
+    per order (the denormalized layout a 100 TB fact table keeps so
+    detail rides with its parent), and every later metric is a NARROW
+    higher-order expression over that array — filter() for the
+    big-quantity subset, aggregate() for its exact-cent sum, transform
+    + array_max for the line census — no re-explode, no second
+    shuffle. The oracle computes the same numbers relationally
+    (GROUP BY + FILTER), proving the nested pipeline loses nothing.
+
+    Scale shape: one shuffle to build the nests (collect_list is the
+    only wide op), then all analytics are per-row array expressions;
+    at scale the nested table is written once and every downstream
+    reader skips the shuffle entirely."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list("item").alias("items")
+    )
+    big = F.filter(F.col("items"), lambda it: it["qty"] >= 25)
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.size(big).cast("long").alias("n_big"),
+        F.aggregate(
+            big, F.lit(0).cast("long"), lambda acc, it: acc + it["cents"]
+        ).alias("big_cents"),
+        F.array_max(
+            F.transform(F.col("items"), lambda it: it["ln"])
+        ).cast("long").alias("max_line"),
+    )

@@ -148,3 +148,12 @@ def test_entity_resolution_blocked_no_cross_join(spark, sf_dir, fns):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nested_analytics_single_shuffle(spark, sf_dir, fns):
+    plan = _plan(fns, "q_nested_analytics", spark, sf_dir)
+    # one shuffle builds the nests; every metric is a narrow array
+    # expression after it
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan  # no re-explode
+    assert "Python" not in plan
