@@ -81,12 +81,14 @@ def main() -> None:
             fn(spark, warm_dir).count()
     spark.catalog.clearCache()  # drop warmup persists
 
-    # Min of 2 timed runs per query: single-run numbers on a shared
+    # Min of 3 timed runs per query: single-run numbers on a shared
     # local[32] box swing 2-5x on GC/OS noise (measured back-to-back
-    # totals of 29.2 s vs 21.0 s with identical plans); min-of-N is the
-    # standard steady-state convention and stays honest — every run
-    # pays its full scan/shuffle/persist cost at the target SF.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # totals of 29.2 s vs 21.0 s with identical plans; r5 saw the same
+    # code measure 1.3 s and 2.3 s on consecutive idle-box runs at
+    # min-of-2); min-of-N is the standard steady-state convention and
+    # stays honest — every run pays its full scan/shuffle/persist cost
+    # at the target SF.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = fns.get(name)

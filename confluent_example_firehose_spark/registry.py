@@ -59,9 +59,9 @@ _RECHECK: tuple[str, ...] = (
     # re-adjudicate to prove output unchanged.
     "q_corr_stats", "q_dedup_incremental", "q_funnel",
     "q_quality_repetition", "q_similarity_ivf", "q_pysource_stream",
-    # r5: LSH ANN gained an exact oracle (plane literals embedded in
-    # the SQL) — adjudicate the new check.
-    "q_similarity_lsh",
+    # r5: LSH ANN gained exact oracles (plane literals embedded in
+    # the SQL) — adjudicate the new checks.
+    "q_similarity_lsh", "q_similarity_lsh_multiprobe",
 )
 
 def _driver_history() -> dict[str, int]:
