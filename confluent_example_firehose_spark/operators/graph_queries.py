@@ -228,3 +228,122 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOPK)
+
+
+SSSP_ROUNDS = 4  # fixed relaxation rounds (min cost within 4 hops)
+
+_WEDGES_SQL = """
+    d AS (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+               count(DISTINCT o.o_orderkey) AS cnt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT src, dst, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM d
+        UNION ALL
+        SELECT dst AS src, src AS dst, CAST(1 + 1000 // cnt AS BIGINT)
+            AS w
+        FROM d
+    )
+"""
+
+
+def weighted_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized purchase edges with integer costs: strong links
+    (many distinct orders) are cheap — w = 1 + 1000 div cnt. Same
+    one-join + group-by derivation as purchase_edges, with the count
+    kept instead of distinct-collapsed."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+    )
+    d = d.select(
+        "src", "dst", (1 + F.expr("1000 div cnt")).cast("long").alias("w")
+    )
+    return d.unionByName(
+        d.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+def _sssp_oracle() -> str:
+    sql = f"""
+    WITH {_WEDGES_SQL},
+    r0 AS (
+        SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+        FROM e
+        WHERE src % 2 = 0 AND (src // 2) % {BFS_SEED_MOD} = 0
+    )"""
+    prev = "r0"
+    for k in range(1, SSSP_ROUNDS + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT node, min(cost) AS cost FROM (
+            SELECT node, cost FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, r.cost + e.w AS cost
+            FROM {prev} r JOIN e ON e.src = r.node
+        ) GROUP BY node
+    )"""
+        prev = f"r{k}"
+    return sql + f"\n    SELECT node, cost FROM {prev}"
+
+
+@register("q_graph_sssp", oracle=_sssp_oracle())
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (bounded Bellman-Ford): minimum total
+    edge cost from the seed-customer set within {SSSP_ROUNDS} hops,
+    where an edge's cost is inverse to its order volume (strong
+    commercial links are cheap to traverse) — BFS generalized from
+    hop-counting to cost relaxation, the trust-propagation /
+    proximity-scoring shape of link-graph quality pipelines. All
+    integer arithmetic; fixed round count, so the oracle unrolls the
+    identical relaxation ladder.
+
+    Scale shape: identical to q_graph_bfs — per round ONE src-keyed
+    join + node-keyed min agg with localCheckpoint truncation; the
+    weighted edge table derives from the same single orders ⋈ lineitem
+    pass (group-by keeps the count instead of distinct-collapsing
+    it)."""
+    edges = weighted_purchase_edges(spark, sf_dir)
+    edges = edges.persist()
+    try:
+        reached = (
+            edges.select("src")
+            .distinct()
+            .filter(
+                (F.col("src") % 2 == 0)
+                & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0)
+            )
+            .select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("long").alias("cost"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(SSSP_ROUNDS):
+            msgs = edges.join(
+                reached.withColumnRenamed("node", "src"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            reached = (
+                reached.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    return reached

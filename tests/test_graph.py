@@ -104,3 +104,39 @@ def test_purchase_edges_symmetrized_and_distinct(spark, sf_dir):
     # bipartite derivation never links same-parity nodes
     bad = e.filter((F.col("src") % 2) == (F.col("dst") % 2)).count()
     assert bad == 0
+
+
+def test_sssp_weighted_relaxation_prefers_cheap_path(spark):
+    """Direct edge cost 10 vs two-hop path of cost 3+3: the relaxation
+    must return 6 after two rounds."""
+    e = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 3), (2, 3, 3),
+         (3, 1, 10), (2, 1, 3), (3, 2, 3)],
+        ["src", "dst", "w"],
+    )
+    reached = spark.createDataFrame([(1, 0)], ["node", "cost"])
+    for _ in range(2):
+        msgs = e.join(
+            reached.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        reached = (
+            reached.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    d = {r["node"]: r["cost"] for r in reached.collect()}
+    assert d == {1: 0, 2: 3, 3: 6}
+
+
+def test_weighted_edges_cost_formula(spark, sf_dir):
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        weighted_purchase_edges,
+    )
+
+    e = weighted_purchase_edges(spark, sf_dir)
+    row = e.select(F.min("w").alias("lo"), F.max("w").alias("hi")).first()
+    # w = 1 + 1000 div cnt with cnt >= 1 -> w in (1, 1001]
+    assert 1 < row["lo"] <= row["hi"] <= 1001
