@@ -13,9 +13,10 @@ Determinism rule: every quantity is an integer end to end.
  - BFS distances are integer mins — trivially exact.
  - PageRank runs in FIXED-POINT INTEGER arithmetic: ranks are scaled
    by PR_SCALE and each edge contribution is (rank · 85) div
-   (100 · outdeg) — integer division, which Spark (`div`, truncation)
-   and DuckDB (`//`, floor) compute identically on non-negative
-   operands. A float PageRank would be partition-order-dependent in
+   (100 · outdeg) — integer division, which Spark (`div`) and DuckDB
+   (integer `//`) both compute by TRUNCATION (probed: -1234 // 500 =
+   -2 in DuckDB, not floor's -3), so they agree on every sign; all
+   operands here are non-negative anyway. A float PageRank would be partition-order-dependent in
    the sum and engine-dependent in the last ULP; the fixed-point form
    is bit-identical everywhere and loses at most outdeg quanta of
    1e-9 mass per node per round (the dangling/rounding residue is

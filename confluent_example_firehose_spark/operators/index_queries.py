@@ -593,6 +593,11 @@ def q_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.to_date("ts").alias("day"),
+            # Integer `div` is sign-safe cross-engine: DuckDB's
+            # integer `//` TRUNCATES exactly like Spark's `div`
+            # (probed: -1234 // 500 = -2 on both, not floor's -3), so
+            # the bin ids agree for any future corpus sign. (A
+            # floor()-based Spark bin would be the one that diverges.)
             F.expr(
                 f"CAST(round(value * 100) AS BIGINT) div {QH_BIN_CENTS}"
             ).alias("bin"),

@@ -44,17 +44,23 @@ def test_bfs_multi_source_takes_min(spark):
     assert d == {1: 0, 2: 1, 3: 1, 4: 0}
 
 
-def test_integer_div_truncation_matches_duckdb_floor(spark):
-    # The PageRank oracle depends on Spark `div` (truncate) and DuckDB
-    # `//` (floor) agreeing — true on the non-negative operands ranks
-    # and degrees always are. Pin the Spark side's value.
+def test_integer_div_matches_duckdb(spark):
+    # The graph/quantile oracles depend on Spark `div` and DuckDB's
+    # integer `//` agreeing. Both TRUNCATE (DuckDB // is not floor on
+    # integers: -1234 // 500 = -2), so they agree on every sign — pin
+    # a positive and a negative case.
     import duckdb
 
     row = spark.range(1).select(
-        F.expr("(85 * CAST(1000000007 AS BIGINT)) div (100 * 7)").alias("q")
+        F.expr("(85 * CAST(1000000007 AS BIGINT)) div (100 * 7)").alias("q"),
+        F.expr("CAST(-1234 AS BIGINT) div 500").alias("neg"),
     ).first()
-    duck = duckdb.sql("SELECT (85 * CAST(1000000007 AS BIGINT)) // (100 * 7)").fetchone()[0]
-    assert row["q"] == duck
+    duck = duckdb.sql(
+        "SELECT (85 * CAST(1000000007 AS BIGINT)) // (100 * 7),"
+        " CAST(-1234 AS BIGINT) // 500"
+    ).fetchone()
+    assert row["q"] == duck[0]
+    assert row["neg"] == duck[1] == -2
 
 
 def test_pagerank_symmetric_pair_is_uniform(spark):
