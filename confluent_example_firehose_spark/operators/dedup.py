@@ -347,3 +347,31 @@ def simhash_fingerprints(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def bucket_pairs_refined(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    secondary: str,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """bucket_pairs with over-cap REFINEMENT instead of dropping:
+    blocks within the cap pair normally; blocks exceeding it re-block
+    on (bucket_cols + secondary) so their pair expansion stays bounded
+    — the entity-resolution design rule ("refine the blocking key
+    until blocks are bounded") as a kernel. The trade is explicit and
+    smaller than dropping: only pairs CROSSING secondary values inside
+    an over-cap block are lost, instead of the whole block.
+
+    Scale shape: one extra block-size aggregation (tiny — one row per
+    block) decides each row's route; both routes are the same single
+    bucket shuffle as bucket_pairs. Distinct-union of the two pair
+    sets (a block can't be in both routes, but a pair of ids can meet
+    in several blocks when bucket_cols come from multi-banding)."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    routed = banded.join(F.broadcast(sizes), bucket_cols)
+    small = routed.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    big = routed.filter(F.col("_bn") > max_bucket).drop("_bn")
+    pairs_small = bucket_pairs(small, bucket_cols, max_bucket)
+    pairs_big = bucket_pairs(big, bucket_cols + [secondary], max_bucket)
+    return pairs_small.unionByName(pairs_big).distinct()

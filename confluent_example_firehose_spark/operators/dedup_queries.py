@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
-    bucket_pairs,
+    bucket_pairs_refined,
     doc_shingle_hashes,
     fan_out,
     hamming64,
@@ -455,10 +455,14 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key is a normalized name/zip and the weights are
     log-likelihood ratios; the plan is identical.
 
-    Scale shape: bucket_pairs keeps per-block state to an id list
-    (block sizes are bounded by the blocking-key design — that is what
-    makes ER feasible at all); attribute lookup is two joins against
-    the dim-sized customer table; top-N is TakeOrdered."""
+    Scale shape: blocking runs through bucket_pairs_refined — blocks
+    within the cap pair normally, blocks that outgrow it re-block on a
+    balance band instead of being dropped (the ER design rule "refine
+    the blocking key until blocks are bounded", as a kernel). At the
+    test SFs every (nation, segment) block is under the cap, so the
+    oracle's plain block join is exactly equal; the refinement route
+    is pinned by tests/test_dedup.py. Attribute lookup is two joins
+    against the dim-sized customer table; top-N is TakeOrdered."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -467,10 +471,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("long").alias("balc"),
     )
     banded = c.select(
-        F.col("c_custkey").alias("_id"), "c_nationkey", "c_mktsegment"
+        F.col("c_custkey").alias("_id"),
+        "c_nationkey",
+        "c_mktsegment",
+        # refinement key for over-cap blocks: 1000.00-wide balance band
+        F.expr("balc div 100000").alias("bal_band"),
     )
-    pairs = bucket_pairs(
-        banded, ["c_nationkey", "c_mktsegment"], max_bucket=4096
+    pairs = bucket_pairs_refined(
+        banded,
+        ["c_nationkey", "c_mktsegment"],
+        "bal_band",
+        max_bucket=4096,
     )
     a = c.select(
         F.col("c_custkey").alias("id_a"),

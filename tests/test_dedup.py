@@ -167,3 +167,47 @@ def test_incremental_dedup_bipartite_only(spark, sf_dir):
     assert {r["new_id"] for r in rows} == set(range(INCR_OLD, INCR_NEW))
     assert all(r["best_old_id"] < INCR_OLD for r in rows)
     assert all((r["jac"] >= 0.5) == (r["is_dup"] == 1) for r in rows)
+
+
+def test_bucket_pairs_refined_splits_instead_of_dropping(spark):
+    """An over-cap block must still yield the pairs that agree on the
+    secondary key (plain bucket_pairs drops the whole block)."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        bucket_pairs,
+        bucket_pairs_refined,
+    )
+
+    rows = [(i, "blk", i % 2) for i in range(10)]  # one block of 10
+    banded = spark.createDataFrame(rows, ["_id", "b", "sec"])
+    dropped = bucket_pairs(banded, ["b"], max_bucket=5).count()
+    assert dropped == 0  # the cap silently loses everything
+    # refinement splits the 10-block into two parity sub-blocks of 5,
+    # each under the cap (a sub-block still over cap stays dropped —
+    # refinement is one level; pick a finer secondary in that case)
+    refined = bucket_pairs_refined(banded, ["b"], "sec", max_bucket=5)
+    got = {(r["id_a"], r["id_b"]) for r in refined.collect()}
+    # two sub-blocks of 5 (even/odd ids) -> C(5,2) * 2 = 20 pairs,
+    # all same-parity
+    assert len(got) == 20
+    assert all((a - b) % 2 == 0 for a, b in got)
+
+
+def test_bucket_pairs_refined_noop_under_cap(spark):
+    from confluent_example_firehose_spark.operators.dedup import (
+        bucket_pairs,
+        bucket_pairs_refined,
+    )
+
+    rows = [(i, "b%d" % (i // 3), i) for i in range(12)]
+    banded = spark.createDataFrame(rows, ["_id", "b", "sec"])
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_pairs(banded, ["b"], max_bucket=64).collect()
+    }
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_pairs_refined(
+            banded, ["b"], "sec", max_bucket=64
+        ).collect()
+    }
+    assert base == ref
