@@ -355,3 +355,113 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rank = F.row_number().over(W.orderBy(F.desc("cnt"), "pair"))
     return c.select(rank.cast("long").alias("rank"), "pair", "cnt")
+
+
+BPE_ROUNDS = 3
+
+# Token-stream encoding for exact greedy BPE merges in BOTH engines:
+# a word's tokens are joined with DOUBLED separators ('§§a§§b§§...').
+# Merging pair (a, b) is then the plain (non-regex) string replace of
+# '§a§§b§' with '§ab§' — each match consumes one '§' from each side's
+# doubled separator, so adjacent candidate matches never share a
+# character and SQL replace()'s left-to-right non-overlapping scan IS
+# the greedy BPE merge (probed identical in Spark and DuckDB,
+# including the overlap case '§§a§§a§§a§§' -> '§§aa§§a§§'). '§' is
+# absent from the corpus (probed; an ingest guard would enforce it).
+
+
+def _bpe_oracle() -> str:
+    sql = """
+    WITH w0 AS (
+        SELECT '§§' || regexp_replace(word, '(.)', '\\1§§', 'g') AS w
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS word
+              FROM documents)
+    )"""
+    for k in range(1, BPE_ROUNDS + 1):
+        sql += f""",
+    c{k} AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1]))
+                       AS pair
+            FROM (SELECT list_filter(string_split(w, '§§'),
+                                     x -> x <> '') AS t
+                  FROM w{k - 1})
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{k} AS (
+        SELECT replace(w,
+            '§' || string_split((SELECT pair FROM c{k}), ' ')[1]
+                || '§§'
+                || string_split((SELECT pair FROM c{k}), ' ')[2] || '§',
+            '§' || replace((SELECT pair FROM c{k}), ' ', '') || '§') AS w
+        FROM w{k - 1}
+    )"""
+    parts = [
+        f"SELECT CAST({k} AS BIGINT) AS round, pair, cnt FROM c{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training ({BPE_ROUNDS} merge rounds): each round
+    takes the most frequent adjacent token pair (count desc, pair asc
+    — a total order) and merges EVERY greedy left-to-right occurrence
+    corpus-wide, re-counting on the merged stream — the actual
+    tokenizer-training loop, of which q_bpe_pairs is the single-round
+    census. The merge itself is a narrow JVM string replace over the
+    doubled-separator encoding (see _bpe_oracle's comment), so the
+    oracle replays the identical rounds with scalar-subquery-fed
+    replaces and the outputs hash-match exactly.
+
+    Scale shape: per round one explode + map-side-combinable count +
+    TakeOrdered(1) for the argmax pair, then a narrow replace — no
+    UDF, no shuffle beyond the census agg; the token stream column
+    rides in executor memory across rounds ({BPE_ROUNDS} chained
+    narrow projections of lineage, no checkpoint needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select(F.explode(words("text")).alias("word")).select(
+        F.concat(
+            F.lit("§§"), F.regexp_replace("word", "(.)", "$1§§")
+        ).alias("w")
+    )
+    results = []
+    for k in range(1, BPE_ROUNDS + 1):
+        tk = st.select(
+            F.filter(F.split("w", "§§"), lambda x: x != "").alias("t")
+        )
+        t = F.col("t")
+        pair_arr = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        top = (
+            tk.select(F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .first()
+        )
+        pa, pb = top["pair"].split(" ")
+        results.append((k, top["pair"], top["cnt"]))
+        # typed F.replace (not an interpolated F.expr): corpus tokens
+        # may contain quote characters, which must stay data, not SQL
+        st = st.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"§{pa}§§{pb}§"),
+                F.lit(f"§{pa}{pb}§"),
+            ).alias("w")
+        )
+    return spark.createDataFrame(
+        results, "round long, pair string, cnt long"
+    )

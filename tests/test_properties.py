@@ -202,3 +202,31 @@ def test_quantize_codes_model(vec):
         # extremes map to the rail codes
         assert codes[vec.index(mn)] == 0
         assert codes[vec.index(mx)] == 255
+
+
+def test_bpe_merge_encoding_greedy_exact(spark):
+    """The doubled-separator replace must equal greedy left-to-right
+    BPE merging, including the overlap case."""
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("§§a§§b§§a§§b§§", "§§ab§§ab§§"),   # both pairs merge
+        ("§§a§§a§§a§§", None),              # overlap: only first pair
+    ]
+    r = spark.range(1).select(
+        F.replace(
+            F.lit(cases[0][0]), F.lit("§a§§b§"), F.lit("§ab§")
+        ).alias("m1"),
+        F.replace(
+            F.lit(cases[1][0]), F.lit("§a§§a§"), F.lit("§aa§")
+        ).alias("m2"),
+    ).first()
+    assert r["m1"] == "§§ab§§ab§§"
+    assert r["m2"] == "§§aa§§a§§"
+    import duckdb
+
+    d = duckdb.sql(
+        "SELECT replace('§§a§§b§§a§§b§§', '§a§§b§', '§ab§'),"
+        " replace('§§a§§a§§a§§', '§a§§a§', '§aa§')"
+    ).fetchone()
+    assert d == (r["m1"], r["m2"])
