@@ -227,14 +227,18 @@ def minhash_candidate_pairs(
     return bucket_pairs(banded, ["band_id", "band_hash"], max_bucket)
 
 
-def bucket_pairs(
+def bucket_pair_instances(
     banded: DataFrame, bucket_cols: list[str], max_bucket: int = 64
 ) -> DataFrame:
-    """(id_a < id_b) candidate pairs from a (id, bucket...) table: ONE
-    shuffle (groupBy bucket, collect ids) + expression-side pair
-    expansion + distinct. Shared by MinHash-LSH banding and SimHash
-    prefix blocking. Buckets over max_bucket ids are dropped (skew
-    guard — degenerate buckets are boilerplate, O(k^2) pair blowup)."""
+    """(id_a < id_b) pair INSTANCES from a (id, bucket...) table — one
+    row per in-bucket co-occurrence, multiplicity preserved (a pair
+    sharing k buckets appears k times): ONE shuffle (groupBy bucket,
+    collect ids) + expression-side pair expansion. Buckets over
+    max_bucket ids are dropped (skew guard — degenerate buckets are
+    boilerplate, O(k^2) pair blowup). Callers that only need the
+    candidate SET use bucket_pairs; callers that need co-occurrence
+    COUNTS (e.g. graph projections: suppliers weighted by shared
+    customers) aggregate these instances."""
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
@@ -253,11 +257,18 @@ def bucket_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
+
+
+def bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 64
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs — bucket_pair_instances
+    collapsed to the set. Shared by MinHash-LSH banding, SimHash
+    prefix blocking, and ER blocking."""
+    return bucket_pair_instances(banded, bucket_cols, max_bucket).distinct()
 
 
 def simhash_candidate_pairs(

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .dedup import bucket_pair_instances
 
 BFS_HOPS = 4       # fixed BFS rounds (oracle unrolls the same ladder)
 BFS_SEED_MOD = 50  # seed customers: custkey % BFS_SEED_MOD == 0
@@ -348,3 +349,95 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return reached
+
+
+TRI_QTY = 45   # incidence restricted to high-quantity lineitems
+TRI_SHARED = 3  # co-purchase edge: suppliers sharing >= 3 customers
+TRI_CAP = 256   # per-customer supplier cap (bucket_pair_instances)
+TRI_TOPN = 15
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH inc AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= {TRI_QTY}
+    ),
+    deg AS (SELECT cust, count(*) AS d FROM inc GROUP BY cust),
+    ok AS (SELECT cust FROM deg WHERE d BETWEEN 2 AND {TRI_CAP}),
+    pairs AS (
+        SELECT a.supp AS x, b.supp AS y, count(*) AS shared
+        FROM inc a JOIN inc b ON a.cust = b.cust AND a.supp < b.supp
+        JOIN ok k ON k.cust = a.cust
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT x, y FROM pairs WHERE shared >= {TRI_SHARED}),
+    tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e e1
+        JOIN e e2 ON e2.x = e1.y
+        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    nodes AS (SELECT unnest([a, b, c]) AS supp FROM tri)
+    SELECT supp, count(*) AS n_tri
+    FROM nodes GROUP BY supp
+    ORDER BY n_tri DESC, supp LIMIT {TRI_TOPN}
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census on a size-bounded co-purchase projection: the
+    bipartite incidence (restricted to quantity >= {TRI_QTY}
+    lineitems) projects onto its SMALL side — supplier pairs weighted
+    by shared customers via bucket_pair_instances (one bucket shuffle
+    on the customer key, per-bucket expansion capped at {TRI_CAP}) —
+    and pairs sharing >= {TRI_SHARED} customers become edges; the
+    ordered triangle join (a<b<c) then counts each triangle once, and
+    the top {TRI_TOPN} suppliers by triangle participation fall out of
+    one explode + count. Triangle density is the classic
+    community-structure signal (clustering coefficient numerator) a
+    link-graph quality pipeline computes.
+
+    Scale shape: the projection is the load-bearing step and is
+    bounded BY DESIGN — per-bucket expansion is capped, and the
+    projected graph lives on the small side's node count, not the
+    corpus. The triangle join runs on the projected edge set (a<b<c
+    ordering means no triangle is counted twice and the join never
+    explores both directions); AQE broadcasts it when small. All
+    integer counts."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRI_QTY)
+        .select("l_orderkey", "l_suppkey")
+    )
+    inc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    banded = inc.select(F.col("supp").alias("_id"), "cust")
+    edges = (
+        bucket_pair_instances(banded, ["cust"], max_bucket=TRI_CAP)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= TRI_SHARED)
+        .select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    )
+    e1 = edges.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = edges.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = edges.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("supp")
+        )
+        .groupBy("supp")
+        .agg(F.count("*").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "supp")
+        .limit(TRI_TOPN)
+    )

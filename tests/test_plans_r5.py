@@ -157,3 +157,12 @@ def test_nested_analytics_single_shuffle(spark, sf_dir, fns):
     assert plan.count("Exchange") == 1
     assert "Generate" not in plan  # no re-explode
     assert "Python" not in plan
+
+
+def test_graph_triangles_bounded_projection(spark, sf_dir, fns):
+    plan = _plan(fns, "q_graph_triangles", spark, sf_dir)
+    # projection + ordered triangle join: equi-joins only, never a
+    # cartesian exploration, top-N via TakeOrdered
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
