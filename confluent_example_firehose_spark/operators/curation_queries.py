@@ -642,3 +642,105 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS ws0
+        FROM documents
+        WHERE doc_id < {PAIR_CAP}
+    ),
+    ws AS (
+        SELECT doc_id, list_distinct(ws0) AS ws,
+               CAST(len(list_distinct(ws0)) AS BIGINT) AS n_distinct,
+               CAST(len(ws0) AS BIGINT) AS n_words
+        FROM w
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ws a, ws b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+              >= {CLUSTER_JACCARD}
+    ),
+    e(src, dst) AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM ws
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    ),
+    comp AS (
+        SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.cluster_id, s.doc_id, s.n_distinct, s.n_words
+    FROM comp c JOIN ws s ON s.doc_id = c.doc_id
+    QUALIFY row_number() OVER (
+        PARTITION BY c.cluster_id
+        ORDER BY s.n_distinct DESC, s.n_words DESC, s.doc_id) = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the dedup pipeline's final act:
+    after near-dup pairs transitively close into clusters
+    (q_dedup_clusters), each cluster keeps its HIGHEST-QUALITY member
+    (most distinct words, then most words, then lowest doc_id — an
+    all-integer total order, so the argmax cannot tie-break
+    differently across engines) rather than the arbitrary min-id.
+    This is what "dedup the corpus" actually ships: the surviving
+    document set.
+
+    Scale shape: cluster assignment is the q_dedup_clusters iteration
+    (per round one join + groupBy-min, checkpointed lineage); the
+    representative choice is one window rank over cluster-sized
+    groups. The demo edge set is the PAIR_CAP-bounded exact-Jaccard
+    window so the recursive-CTE oracle can replay it; at 100 TB the
+    edges come from minhash_candidate_pairs, shape unchanged."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PAIR_CAP
+    )
+    st = d.select("doc_id", words("text").alias("ws0"))
+    ws = st.select(
+        "doc_id",
+        F.array_distinct("ws0").alias("ws"),
+        F.size(F.array_distinct("ws0")).cast("long").alias("n_distinct"),
+        F.size("ws0").cast("long").alias("n_words"),
+    )
+    a = ws.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = ws.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    pairs = (
+        bounded_pairs(spark, PAIR_CAP)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .filter(jaccard(F.col("wa"), F.col("wb")) >= CLUSTER_JACCARD)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = ws.select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    joined = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).join(ws.drop("ws"), "doc_id")
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.desc("n_distinct"), F.desc("n_words"), "doc_id"
+        )
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "n_distinct", "n_words")
+    )

@@ -61,3 +61,53 @@ def summarize(df: DataFrame) -> PlanSummary:
             "SelectedBucketsCount" in plan or "Bucketed: true" in plan
         ),
     )
+
+
+def execution_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
+    """Per-operator SQL metrics from the EXECUTED plan — (node,
+    metric, value) triples for every populated metric (output rows,
+    shuffle bytes/records, spill sizes, scan rows...). This is the
+    observability surface a pipeline operator tunes skew and spill
+    with, read straight from the same metric registry the Spark UI
+    shows; no listener plumbing, works after any action on the frame.
+
+    Executes the frame via collect() — the SAME Dataset's query
+    execution, so its metric registry is the one populated (count()
+    would build and execute a different plan and leave these metrics
+    zero). Metric keys are Spark's INTERNAL names (numOutputRows,
+    shuffleBytesWritten, ...). AQE-wrapped and query-stage nodes are
+    unwrapped so the FINAL adaptive plan's metrics are reported."""
+    df.collect()
+    out: list[tuple[str, str, int]] = []
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        if node is None or id(node) in seen:
+            return
+        seen.add(id(node))
+        name = node.nodeName()
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                try:
+                    out.append((name, kv._1(), kv._2().value()))
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        # unwrap adaptive / query-stage / cached-relation nests
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, accessor)())
+            except Exception:
+                pass
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+        except Exception:
+            pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -166,3 +166,34 @@ def test_graph_triangles_bounded_projection(spark, sf_dir, fns):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_execution_metrics_report_rows_and_shuffle(spark, sf_dir):
+    """The observability surface must report real per-operator
+    numbers: aggregate output rows and nonzero shuffle traffic for a
+    groupBy over events."""
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.plans.inspect import (
+        execution_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    metrics = execution_metrics(df)
+    assert metrics, "no metrics collected"
+    agg_rows = [
+        v
+        for node, key, v in metrics
+        if "Aggregate" in node and key == "numOutputRows"
+    ]
+    assert agg_rows and max(agg_rows) >= 5  # 5 event types
+    shuffle_bytes = [
+        v
+        for node, key, v in metrics
+        if "Exchange" in node and key == "shuffleBytesWritten"
+    ]
+    assert shuffle_bytes and max(shuffle_bytes) > 0
