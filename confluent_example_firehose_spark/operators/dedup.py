@@ -379,8 +379,12 @@ def bucket_pairs_refined(
     bucket shuffle as bucket_pairs. Distinct-union of the two pair
     sets (a block can't be in both routes, but a pair of ids can meet
     in several blocks when bucket_cols come from multi-banding)."""
+    # No broadcast hint on sizes: one row per BLOCK is unbounded at
+    # corpus scale (millions of blocks at 100 TB); the equi-join on
+    # bucket_cols co-partitions with the groupBy that produced it, and
+    # AQE still broadcasts when it is actually small.
     sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    routed = banded.join(F.broadcast(sizes), bucket_cols)
+    routed = banded.join(sizes, bucket_cols)
     small = routed.filter(F.col("_bn") <= max_bucket).drop("_bn")
     big = routed.filter(F.col("_bn") > max_bucket).drop("_bn")
     pairs_small = bucket_pairs(small, bucket_cols, max_bucket)

@@ -74,7 +74,9 @@ def execution_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
     Executes the frame via collect() — the SAME Dataset's query
     execution, so its metric registry is the one populated (count()
     would build and execute a different plan and leave these metrics
-    zero). Metric keys are Spark's INTERNAL names (numOutputRows,
+    zero). Diagnostics tool: collect() materializes the result on the
+    driver, so profile a .limit()'d or aggregated frame, not a raw
+    100 TB scan. Metric keys are Spark's INTERNAL names (numOutputRows,
     shuffleBytesWritten, ...). AQE-wrapped and query-stage nodes are
     unwrapped so the FINAL adaptive plan's metrics are reported."""
     df.collect()
