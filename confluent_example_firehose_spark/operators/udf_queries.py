@@ -117,3 +117,34 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         wavg("cents", "k").alias("wavg_value"),
         ncount("cents").alias("n"),
     )
+
+
+@register(
+    "q_arrow_udf",
+    oracle="""
+    SELECT event_id,
+           CAST(((user_id * 2654435761) % 4294967296) % 97 AS BIGINT)
+               AS shard
+    FROM events
+    """,
+)
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `useArrow=True`) —
+    the third Python execution path next to row-pickled UDFs (q_udtf)
+    and pandas UDFs (q_pandas_udf): per-ROW Python semantics with
+    Arrow-batched transfer, i.e. plain-Python ergonomics without the
+    pickle tax. The kernel is Knuth multiplicative sharding on the
+    user id — all-integer, so DuckDB replays it exactly. Used here to
+    pin the execution path (ArrowEvalPython, asserted in
+    tests/test_plans_r5.py); a production plan would fold arithmetic
+    this simple into a Column expression (see q_scalar_funcs), which
+    is precisely the built-ins-first rule the UDF trio exists to
+    demarcate."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def shard(user_id: int) -> int:
+        return ((user_id * 2654435761) % 4294967296) % 97
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", shard("user_id").alias("shard"))

@@ -197,3 +197,9 @@ def test_execution_metrics_report_rows_and_shuffle(spark, sf_dir):
         if "Exchange" in node and key == "shuffleBytesWritten"
     ]
     assert shuffle_bytes and max(shuffle_bytes) > 0
+
+
+def test_arrow_udf_uses_arrow_eval_path(spark, sf_dir, fns):
+    plan = _plan(fns, "q_arrow_udf", spark, sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # not the pickled-row path
