@@ -441,3 +441,69 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "supp")
         .limit(TRI_TOPN)
     )
+
+
+KCORE_K = 30      # degree threshold
+KCORE_ROUNDS = 3  # fixed peel rounds (oracle unrolls the same ladder)
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+    WITH {_EDGES_SQL},
+    e0 AS (SELECT src, dst FROM e)"""
+    prev_e = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    deg{r} AS (SELECT src AS node, count(*) AS dg FROM {prev_e}
+               GROUP BY src),
+    n{r} AS (SELECT node FROM deg{r} WHERE dg >= {KCORE_K}),
+    e{r} AS (
+        SELECT ed.src, ed.dst FROM {prev_e} ed
+        JOIN n{r} a ON a.node = ed.src
+        JOIN n{r} b ON b.node = ed.dst
+    )"""
+        prev_e = f"e{r}"
+    return sql + f"""
+    SELECT src AS node, count(*) AS core_deg
+    FROM {prev_e} GROUP BY src"""
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling ({KCORE_ROUNDS} rounds toward the
+    {KCORE_K}-core): repeatedly drop nodes whose remaining degree is
+    below K and the edges they carried — the graph-degeneracy filter
+    that separates densely embedded nodes from peripheral ones (the
+    community-core signal next to q_graph_triangles' clustering
+    signal). Fixed round count, so the DuckDB oracle unrolls the
+    identical peel ladder; full peeling to the true k-core is this
+    loop run to fixpoint (the q_dedup_clusters convergence pattern).
+    Output: surviving nodes with their in-core degree — all integers.
+
+    Scale shape: each round is one degree aggregation (node key) plus
+    one edge semi-restriction (two src/dst-keyed joins against the
+    node-sized survivor set); edges shrink monotonically, so round
+    cost falls as peeling proceeds. localCheckpoint truncates the
+    per-round lineage as in the other iterative operators."""
+    edges = purchase_edges(spark, sf_dir).persist()
+    cur = edges
+    try:
+        for _ in range(KCORE_ROUNDS):
+            deg = cur.groupBy("src").agg(F.count("*").alias("dg"))
+            keep = deg.filter(F.col("dg") >= KCORE_K).select("src")
+            cur = (
+                cur.join(keep.withColumnRenamed("src", "node"),
+                         cur.src == F.col("node"))
+                .drop("node")
+                .join(
+                    keep.select(F.col("src").alias("node")),
+                    F.col("dst") == F.col("node"),
+                )
+                .drop("node")
+            )
+            cur = cur.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )

@@ -527,3 +527,123 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, vid, float(s)) for k, vid, s in picked],
         "rank long, vec_id long, score double",
     ).select("rank", "vec_id", F.round("score", 6).alias("score"))
+
+
+ADC_LEVELS = 255  # 8-bit codes (q_embed_quantize's scheme)
+ADC_TOPK = 10
+
+
+@register(
+    "q_similarity_adc",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    m AS (
+        SELECT vec_id, v, list_min(v) AS mn,
+               CASE WHEN list_max(v) = list_min(v) THEN 1.0
+                    ELSE list_max(v) - list_min(v) END AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, v, mn, scale,
+               list_transform(
+                   v, x -> CAST(round((x - mn) * {ADC_LEVELS} / scale)
+                                AS BIGINT)) AS codes
+        FROM m
+    ),
+    qry AS (SELECT vec_id AS query_id, v AS qv FROM v
+            WHERE vec_id < {N_QUERY_VECS})
+    SELECT query_id, neighbor_id, score FROM (
+        SELECT y.query_id, x.vec_id AS neighbor_id,
+               round(list_reduce(
+                   list_transform(range(1, len(y.qv) + 1),
+                       i -> y.qv[i] * (x.mn + x.codes[i] * x.scale
+                                       / {ADC_LEVELS})),
+                   (a, b) -> a + b), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY y.query_id
+                   ORDER BY list_reduce(
+                       list_transform(range(1, len(y.qv) + 1),
+                           i -> y.qv[i] * (x.mn + x.codes[i] * x.scale
+                                           / {ADC_LEVELS})),
+                       (a, b) -> a + b) DESC, x.vec_id) AS rn
+        FROM qry y, q x
+        WHERE x.vec_id <> y.query_id
+    ) WHERE rn <= {ADC_TOPK}
+    """,
+)
+def q_similarity_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over 8-bit quantized vectors —
+    the search side of q_embed_quantize's storage scheme and the inner
+    loop of IVF-ADC indexes: the CORPUS lives as per-vector affine
+    codes (4x smaller, the 100 TB memory trade), queries stay float,
+    and each score is the dot of the float query with the
+    code-reconstructed corpus vector. Top-{ADC_TOPK} per query with
+    vec_id tiebreak.
+
+    Engine-exactness: the q_embed_quantize rules — cast to double
+    before arithmetic, identical IEEE expression trees, sequential
+    left folds on both sides (F.aggregate 0.0-init == list_reduce) —
+    make the scores bit-identical before the final round.
+
+    Scale shape: the quantized corpus streams through ONE pass against
+    the broadcast query set (same plan as q_similarity_topk, minus 4x
+    the bytes); the reconstruction happens inside the score fold — the
+    codes are never inflated to a float array in storage."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
+    m = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.when(
+            F.array_max("v") == F.array_min("v"), F.lit(1.0)
+        ).otherwise(F.array_max("v") - F.array_min("v")).alias("scale"),
+    )
+    q = m.select(
+        "vec_id",
+        "v",
+        "mn",
+        "scale",
+        F.transform(
+            "v",
+            lambda x: F.round(
+                (x - F.col("mn")) * ADC_LEVELS / F.col("scale")
+            ).cast("long"),
+        ).alias("codes"),
+    )
+    qry = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    recon_dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("codes"),
+            lambda a, c: a
+            * (F.col("mn") + c * F.col("scale") / ADC_LEVELS),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            recon_dot.alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score")
+        )
+    )
