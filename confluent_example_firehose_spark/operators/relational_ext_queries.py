@@ -1096,3 +1096,92 @@ def q_nested_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("items"), lambda it: it["ln"])
         ).cast("long").alias("max_line"),
     )
+
+
+@register(
+    "q_robust_stats",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    th AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+               CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, count(*) AS n,
+           CAST(count(*) FILTER (WHERE cents < lo) AS BIGINT)
+               AS n_clip_lo,
+           CAST(count(*) FILTER (WHERE cents > hi) AS BIGINT)
+               AS n_clip_hi,
+           th.lo AS lo_cents, th.hi AS hi_cents,
+           round(CAST(sum(CASE WHEN cents < lo THEN lo
+                               WHEN cents > hi THEN hi
+                               ELSE cents END) AS DOUBLE)
+                 / count(*), 6) AS winsor_mean_cents,
+           round(CAST(sum(cents) AS DOUBLE) / count(*), 6)
+               AS raw_mean_cents
+    FROM c JOIN th USING (event_type)
+    GROUP BY c.event_type, th.lo, th.hi
+    """,
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics — the outlier-clipping pass a
+    curation pipeline runs before trusting a mean: per event type, the
+    p05/p95 frontier is computed exactly, QUANTIZED to integer cents
+    (round-before-threshold, the engine-portability rule: interpolated
+    percentiles are doubles, and clipping against a raw double would
+    mix float values into the sum and make it accumulation-order-
+    dependent), then every value clips to the integer frontier and the
+    winsorized mean comes from an EXACT integer sum. Clip counts ride
+    along so the report shows how much tail was tamed.
+
+    Scale shape: two passes — a per-group exact-percentile aggregate
+    (bounded group count; the approx-sketch swap is q_agg_quantiles)
+    broadcast back onto the fact, then one map-side-combinable
+    clipped-sum aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    th = ev.groupBy("event_type").agg(
+        F.round(F.percentile("cents", 0.05)).cast("long").alias("lo"),
+        F.round(F.percentile("cents", 0.95)).cast("long").alias("hi"),
+    )
+    j = ev.join(F.broadcast(th), "event_type")
+    clipped = (
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+    )
+    return (
+        j.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.sum(clipped).alias("wsum"),
+            F.sum("cents").alias("rsum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clip_lo",
+            "n_clip_hi",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            F.round(F.col("wsum").cast("double") / F.col("n"), 6).alias(
+                "winsor_mean_cents"
+            ),
+            F.round(F.col("rsum").cast("double") / F.col("n"), 6).alias(
+                "raw_mean_cents"
+            ),
+        )
+    )
