@@ -513,3 +513,90 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(ER_TOPN)
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(ws[i:i+2], ' ')
+                              for i in range(1, len(ws)-1)]) AS s
+        FROM w WHERE len(ws) >= 3
+    ),
+    pairs AS (
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s))) * 1000000)
+                    AS BIGINT) AS jac_ppm
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.2
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(CAST(sum(jac_ppm) AS DOUBLE) / 1000000 / count(*), 6)
+               AS mean_jac
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance report the
+    verified near-dup pairs feed: for every (source, source) cell, how
+    many near-dup pairs cross it and their mean similarity. This is
+    how a corpus audit finds mirror sites / syndicated feeds before
+    mixture weighting double-counts them. Per-pair Jaccard is
+    quantized to integer ppm BEFORE the sum (a raw double mean would
+    be accumulation-order-dependent); the mean is one exact-integer
+    division at the end.
+
+    Scale shape: the pair set comes from the same banded-LSH candidate
+    pipeline as q_dedup_near (one bucket shuffle, recall argument
+    documented there); the matrix itself is a tiny-key aggregate
+    (sources x sources)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = doc_shingle_hashes(d, "doc_id", "text", out="sh").persist()
+    cands = minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingles=sh
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", jaccard(F.col("sha"), F.col("shb")).alias("jac")
+        )
+        .filter(F.col("jac") >= 0.2)
+        .join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.round(F.col("jac") * 1_000_000).cast("long").alias("jac_ppm"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum("jac_ppm").cast("double") / 1_000_000 / F.count("*"), 6
+        ).alias("mean_jac"),
+    )

@@ -507,3 +507,109 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+def _trustrank_oracle() -> str:
+    base_total = 15 * PR_SCALE // 100
+    sql = f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    s AS (SELECT node FROM n
+          WHERE node % 2 = 0 AND (node // 2) % {BFS_SEED_MOD} = 0),
+    ns AS (SELECT count(*) AS k FROM s),
+    r0 AS (
+        SELECT n.node,
+               CASE WHEN sd.node IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE CAST({PR_SCALE} AS BIGINT) END AS rank
+        FROM n LEFT JOIN s sd ON sd.node = n.node
+    )"""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NULL THEN 0
+                         ELSE {base_total} END
+                    + coalesce(c.c, 0) AS BIGINT) AS rank
+        FROM n
+        LEFT JOIN s sd ON sd.node = n.node
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum((r.rank * 85) // (100 * d.outdeg)) AS c
+            FROM {prev} r
+            JOIN deg d ON d.node = r.node
+            JOIN e ON e.src = r.node
+            WHERE r.rank > 0
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+        prev = f"r{k}"
+    return sql + f"""
+    SELECT node, rank FROM {prev} WHERE rank > 0
+    ORDER BY rank DESC, node LIMIT {PR_TOPK}"""
+
+
+@register("q_graph_trustrank", oracle=_trustrank_oracle())
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-personalized PageRank): trust mass starts at
+    the seed-customer set and ONLY re-seeds there — the teleport
+    vector is the seed set, not uniform — so a node's rank measures
+    its random-walk proximity to trusted nodes, the canonical
+    crawl-corpus quality propagation (Gyongyi et al.'s TrustRank; the
+    uniform-teleport twin is q_graph_pagerank). Same fixed-point
+    integer arithmetic and fixed round count; nodes never reached by
+    trust stay at exactly 0 and are filtered, so the top-{PR_TOPK}
+    output is the trusted neighborhood ranking.
+
+    Scale shape: identical to q_graph_pagerank — one src-keyed shuffle
+    per round; the zero-rank filter keeps each round's join input to
+    the reached frontier (trust spreads like BFS, so early rounds are
+    small)."""
+    edges = purchase_edges(spark, sf_dir).persist()
+    try:
+        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        nodes = edges.select("src").distinct().select(
+            F.col("src").alias("node")
+        ).localCheckpoint(eager=True)
+        is_seed = (F.col("node") % 2 == 0) & (
+            (F.col("node") / 2).cast("long") % BFS_SEED_MOD == 0
+        )
+        base_total = 15 * PR_SCALE // 100
+        ranks = nodes.select(
+            "node",
+            F.when(is_seed, F.lit(PR_SCALE))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        for _ in range(PR_ITERS):
+            contrib = (
+                ranks.filter(F.col("rank") > 0)
+                .withColumnRenamed("node", "src")
+                .join(deg, "src")
+                .join(edges, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base_total)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "node")
+        .limit(PR_TOPK)
+    )
