@@ -600,3 +600,96 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("jac_ppm").cast("double") / 1_000_000 / F.count("*"), 6
         ).alias("mean_jac"),
     )
+
+
+LINE_W = 10  # words per dedup "line" (the corpus has no newlines)
+
+
+@register(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS ws
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, ws,
+               unnest(range(CAST(ceil(len(ws) / {LINE_W}.0) AS INTEGER)))
+                   AS pos
+        FROM w WHERE len(ws) > 0
+    ),
+    ch AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(
+                   ws[pos * {LINE_W} + 1 : pos * {LINE_W} + {LINE_W}],
+                   ' ') AS chunk
+        FROM ex
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk FROM ch
+        QUALIFY row_number() OVER (
+            PARTITION BY chunk ORDER BY doc_id, pos) = 1
+    )
+    SELECT k.doc_id,
+           t.n_chunks,
+           count(*) AS n_kept,
+           string_agg(k.chunk, ' ' ORDER BY k.pos) AS clean_text
+    FROM kept k
+    JOIN (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) t
+      ON t.doc_id = k.doc_id
+    GROUP BY k.doc_id, t.n_chunks
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup with document REASSEMBLY — the C4
+    step that removes every repeated line across the whole corpus
+    (keeping its first occurrence by (doc_id, position)) and rebuilds
+    each document from its surviving lines. This corpus has no
+    newlines, so a "line" is a fixed {LINE_W}-word span — the same
+    mechanism at a fixed granularity. Documents whose every line is
+    seen earlier elsewhere vanish entirely (boilerplate removal at
+    sub-document granularity, which whole-document dedup cannot do).
+
+    Scale shape: one explode to (chunk, doc, pos), ONE chunk-keyed
+    window for first-occurrence selection (at 100 TB: hash the chunk
+    to a 128-bit key so the shuffle carries hashes, not text — the
+    q_quality_repetition trim), then a doc-keyed reassembly aggregate
+    whose string_agg state is bounded by the document length."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") > 0
+    )
+    nch = F.ceil(F.size("w") / F.lit(float(LINE_W))).cast("int")
+    ch = st.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("w"), i * LINE_W + 1, LINE_W), " "
+                ),
+            )
+        ).alias("pos0", "chunk"),
+    ).select("doc_id", F.col("pos0").cast("long").alias("pos"), "chunk")
+    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    rn = F.row_number().over(
+        W.partitionBy("chunk").orderBy("doc_id", "pos")
+    )
+    kept = ch.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return reassembled.join(totals, "doc_id").select(
+        "doc_id", "n_chunks", "n_kept", "clean_text"
+    )
