@@ -192,7 +192,126 @@ def _lsh_oracle(multiprobe: bool) -> str:
     """
 
 
-@register("q_similarity_ivf", oracle=None)  # rows-only: IVF ANN
+IVF_K, IVF_NPROBE, IVF_SAMPLE, IVF_ITERS = 16, 4, 512, 8
+
+
+def _ivf_train(sample: np.ndarray) -> np.ndarray:
+    """Seeded k-means shared by the Spark query AND the oracle builder,
+    so the centroid literals the oracle embeds can never drift from the
+    centroids the query trains. Training itself need not be
+    fold-replicable (only its OUTPUT is shared across engines), so the
+    pairwise-sum numpy forms are fine here."""
+    rng = np.random.RandomState(42)
+    cents = sample[rng.choice(len(sample), IVF_K, replace=False)]
+    for _ in range(IVF_ITERS):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for k in range(IVF_K):
+            m = sample[assign == k]
+            if len(m):
+                cents[k] = m.mean(0)
+    return cents
+
+
+def _seq_sqdist(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(batch x K) squared distances accumulated dimension-by-dimension:
+    a sequential left fold over dims with 0.0 init — the exact order
+    DuckDB's list_reduce((v[i]-c[i])*(v[i]-c[i]), +) replays (0.0 + t1
+    == t1 in IEEE since squares are non-negative) — so near-tie argmin
+    assignments cannot flip between engines. Each step is still a
+    vectorized (batch x K) op; 64 steps per Arrow batch."""
+    d2 = np.zeros((x.shape[0], c.shape[0]))
+    for i in range(c.shape[1]):
+        t = x[:, i, None] - c[None, :, i]
+        d2 += t * t
+    return d2
+
+
+def _ivf_oracle():
+    """Centroid-literal oracle for q_similarity_ivf (VERDICT r5 item 2,
+    the q_similarity_lsh plane-literal recipe). Centroids are
+    DATA-dependent — trained on the first IVF_SAMPLE vectors — so this
+    runs lazily at oracle_sqls() time: it reads the same parquet the
+    driver's comparison reads (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR
+    overrides — tools/check_oracle.py pins it to its sf_dir), replays
+    the EXACT _ivf_train call, and renders the 16 final centroids as
+    repr-exact double literals (repr round-trips IEEE doubles, the
+    LSH-oracle identity). Returns None (-> rows-only fallback) if the
+    parquet is absent at resolve time."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' WHERE len(embedding) > 0 "
+            f"ORDER BY vec_id LIMIT {IVF_SAMPLE}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    # float32 -> Python float is exact IEEE widening, same value the
+    # Spark side's cast-to-double collect sees.
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample)
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(IVF_K)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT vec_id, v, cluster_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM d
+    ),
+    assigned AS (SELECT vec_id, v, cluster_id FROM ranked WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cluster_id
+        FROM ranked
+        WHERE vec_id < {N_QUERY_VECS} AND rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, a.v) DESC,
+                            a.vec_id) AS rn
+        FROM probes p JOIN assigned a
+          ON a.cluster_id = p.cluster_id AND a.vec_id <> p.query_id
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("q_similarity_ivf", oracle=_ivf_oracle)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the other standard scale path next to
     LSH: k-means centroids partition the corpus into inverted lists;
@@ -201,50 +320,49 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark mapping: centroids train on a bounded driver-side sample
     (seeded numpy k-means — IVF training is ALWAYS a sample, so the
     collect is bounded regardless of corpus size), assignment is an
-    Arrow-batched matmul per corpus batch (narrow map), and the search
-    is an equi-join on cluster_id — shuffle-partitioned by list, never
-    a cross join. Rows-only: list membership is implementation-defined.
-    """
-    K, NPROBE, SAMPLE, ITERS = 16, 4, 512, 8
+    Arrow-batched vectorized distance per corpus batch (narrow map),
+    and the search is an equi-join on cluster_id — shuffle-partitioned
+    by list, never a cross join.
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    Hash-checked (r6; previously the last convertible rows-only row):
+    list membership is a deterministic function of the trained
+    centroids, and the oracle (built lazily by _ivf_oracle because the
+    centroids are data-dependent) embeds them as repr-exact literals
+    and replays the same sequential-fold argmin assignment (_seq_sqdist
+    order == DuckDB list_reduce order), stable NPROBE probe ranking
+    (d2 then cluster_id — numpy kind='stable' argsort), and the
+    bit-identical cosine fold of q_similarity_topk."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     # --- bounded, deterministic centroid training (driver-side) ---
     sample = np.array(
-        [r["v"] for r in e.orderBy("vec_id").limit(SAMPLE).collect()]
+        [r["v"] for r in e.orderBy("vec_id").limit(IVF_SAMPLE).collect()]
     )
-    rng = np.random.RandomState(42)
-    cents = sample[rng.choice(len(sample), K, replace=False)]
-    for _ in range(ITERS):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        for k in range(K):
-            m = sample[assign == k]
-            if len(m):
-                cents[k] = m.mean(0)
+    cents = _ivf_train(sample)
     cents_b = spark.sparkContext.broadcast(cents)
 
     @pandas_udf("int")
     def nearest_list(vs: pd.Series) -> pd.Series:
-        # One (batch x K x dim) vectorized distance per Arrow batch
-        # (VERDICT r4 item 4 — the per-row loop was the per-row-Python
-        # shape the engine elsewhere engineers away). The broadcast
-        # form keeps the arithmetic bit-identical to the per-row
-        # ((c - x)^2).sum(1), unlike the ||c||^2 - 2x.c matmul
-        # expansion, so near-tie list assignments cannot flip.
+        # Vectorized per Arrow batch (VERDICT r4 item 4), but with the
+        # dim-sequential accumulation of _seq_sqdist so the oracle's
+        # list_reduce fold sees bit-identical distances.
         c = cents_b.value
         x = np.stack(vs.to_numpy())
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d2.argmin(1).astype(np.int32))
+        return pd.Series(
+            _seq_sqdist(x, c).argmin(1).astype(np.int32)
+        )
 
     listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
-    # queries probe their NPROBE nearest lists
+    # queries probe their NPROBE nearest lists (stable sort: ties on
+    # d2 break toward the lower cluster_id, matching the oracle's
+    # ORDER BY d2, cluster_id)
     qrows = listed.filter(F.col("vec_id") < N_QUERY_VECS).collect()
     probe_rows = []
     for r in qrows:
-        x = np.asarray(r["v"])
-        order = ((cents_b.value - x) ** 2).sum(1).argsort()[:NPROBE]
+        x = np.asarray(r["v"], dtype=np.float64)[None, :]
+        d2 = _seq_sqdist(x, cents_b.value)[0]
+        order = np.argsort(d2, kind="stable")[:IVF_NPROBE]
         for c in order:
             probe_rows.append((r["vec_id"], int(c), r["v"]))
     probes = spark.createDataFrame(

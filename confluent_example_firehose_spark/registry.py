@@ -11,11 +11,17 @@ row *set* order-dependent (always give those a total order).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# An oracle is DuckDB SQL. A callable oracle is resolved lazily at
+# oracle_sqls() time — needed when the SQL embeds DATA-DEPENDENT
+# literals (q_similarity_ivf's trained centroids) that must be computed
+# from the same parquet the comparison reads, not at import time.
+OracleSpec = Union[str, Callable[[], Optional[str]], None]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
@@ -24,10 +30,19 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: Optional[str]  # DuckDB SQL, or None -> rows-only check
+    oracle: OracleSpec  # DuckDB SQL, or None -> rows-only check
+
+    def oracle_sql(self) -> Optional[str]:
+        """Resolve the oracle to SQL (or None -> rows-only). Callable
+        oracles may themselves return None (e.g. testdata missing at
+        resolve time) — that degrades to a rows-only check instead of
+        crashing the driver's collection pass."""
+        if callable(self.oracle):
+            return self.oracle()
+        return self.oracle
 
 
-def register(name: str, oracle: Optional[str] = None):
+def register(name: str, oracle: OracleSpec = None):
     """Decorator: @register("q_name", oracle="SELECT ...")."""
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -48,20 +63,12 @@ def register(name: str, oracle: Optional[str] = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r5: streaming rows-only -> hash-checked conversions (VERDICT r4
-    # item 2; rescan/end-state pattern proven by q_sink_foreachbatch).
-    "q_sink_pull", "q_sink_push", "q_sink_push_http", "q_watermark",
-    "q_microbatch_flush", "q_dedup_stream", "q_stream_join",
-    "q_stream_static_enrich", "q_window_session_stream",
-    # r5: exact pair oracles for the near-dup candidates (item 3).
-    "q_dedup_near", "q_dedup_simhash", "q_dedup_simhash8",
-    # r5: ADVICE-touched (guards / vectorization / shuffle trim) —
-    # re-adjudicate to prove output unchanged.
-    "q_corr_stats", "q_dedup_incremental", "q_funnel",
-    "q_quality_repetition", "q_similarity_ivf", "q_pysource_stream",
-    # r5: LSH ANN gained exact oracles (plane literals embedded in
-    # the SQL) — adjudicate the new checks.
-    "q_similarity_lsh", "q_similarity_lsh_multiprobe",
+    # r6 (VERDICT r5 item 1): the tier-2 list is deliberately minimal
+    # this round so tier 3 (stalest-first) fills the window with the 49
+    # queries whose latest driver check is r1/r2. The only entry is the
+    # rows-only -> hash-checked conversion that needs a fresh driver row
+    # to record its new oracle (VERDICT r5 item 2).
+    "q_similarity_ivf",
 )
 
 def _driver_history() -> dict[str, int]:
@@ -148,8 +155,9 @@ def query_fns() -> dict[str, QueryFn]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {
-        name: spec.oracle
-        for name, spec in all_queries().items()
-        if spec.oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name, spec in all_queries().items():
+        sql = spec.oracle_sql()
+        if sql is not None:
+            out[name] = sql
+    return out

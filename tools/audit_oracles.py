@@ -101,6 +101,8 @@ def canon_rows(rows, cols):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # callable oracles (data-dependent literals) read this dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -112,7 +114,8 @@ def main() -> int:
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
             continue
-        if spec.oracle is None:
+        osql = spec.oracle_sql()
+        if osql is None:
             continue
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -135,7 +138,7 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            res = con.execute(spec.oracle)
+            res = con.execute(osql)
             tbl = res.arrow()
             ocols = tbl.schema.names
             otypes = {f.name: type_class(f.type) for f in tbl.schema}

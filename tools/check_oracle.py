@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -47,6 +48,9 @@ def table_hash(rows, cols) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # callable oracles (data-dependent literals) must read the SAME
+    # parquet this comparison reads
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -67,12 +71,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
-        if spec.oracle is None:
+        osql = spec.oracle_sql()
+        if osql is None:
             print(f"ROWS {name}: {len(srows)} rows (rows-only)")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(spec.oracle)
+            res = con.execute(osql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
