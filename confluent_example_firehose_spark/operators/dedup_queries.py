@@ -14,6 +14,7 @@ from .dedup import (
     hamming64,
     jaccard,
     minhash_candidate_pairs,
+    portable_hash60,
     simhash_candidate_pairs,
     simhash_fingerprints,
     words,
@@ -630,7 +631,9 @@ LINE_W = 10  # words per dedup "line" (the corpus has no newlines)
     kept AS (
         SELECT doc_id, pos, chunk FROM ch
         QUALIFY row_number() OVER (
-            PARTITION BY chunk ORDER BY doc_id, pos) = 1
+            PARTITION BY CAST(concat('0x', substr(md5(chunk), 1, 15))
+                              AS BIGINT)
+            ORDER BY doc_id, pos) = 1
     )
     SELECT k.doc_id,
            t.n_chunks,
@@ -652,40 +655,66 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen earlier elsewhere vanish entirely (boilerplate removal at
     sub-document granularity, which whole-document dedup cannot do).
 
-    Scale shape: one explode to (chunk, doc, pos), ONE chunk-keyed
-    window for first-occurrence selection (at 100 TB: hash the chunk
-    to a 128-bit key so the shuffle carries hashes, not text — the
-    q_quality_repetition trim), then a doc-keyed reassembly aggregate
-    whose string_agg state is bounded by the document length."""
+    Scale shape (r6, VERDICT r5 item 3): the corpus-wide
+    first-occurrence window partitions on portable_hash60(chunk) — the
+    one shuffle that is corpus-sized carries (doc_id, pos, hash) at
+    ~24 bytes/row instead of the raw chunk text (the widest column in
+    the query); the oracle replays the same md5-derived partition key,
+    so even a 60-bit collision resolves identically on both engines.
+    Chunk TEXT exists only in two narrow branches: it is hashed and
+    discarded before the window, and re-derived from the document's
+    word array during reassembly — a doc-keyed join where each
+    document's text crosses the wire ONCE (vs twice before: window +
+    reassembly groupBy both shuffled text). Measured at sf0.1:
+    2.46 MB -> 0.70 MB total shuffle bytes, window exchange
+    1.28 MB -> 0.17 MB (SCALE.md)."""
     d = load_table(spark, sf_dir, "documents")
     st = d.select("doc_id", words("text").alias("w")).filter(
         F.size("w") > 0
     )
     nch = F.ceil(F.size("w") / F.lit(float(LINE_W))).cast("int")
-    ch = st.select(
+    # chunk hashes only — the chunk string is built and hashed inside
+    # the transform, never materialized as a column
+    chh = st.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), nch - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("w"), i * LINE_W + 1, LINE_W), " "
+                lambda i: portable_hash60(
+                    F.array_join(
+                        F.slice(F.col("w"), i * LINE_W + 1, LINE_W), " "
+                    )
                 ),
             )
-        ).alias("pos0", "chunk"),
-    ).select("doc_id", F.col("pos0").cast("long").alias("pos"), "chunk")
-    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+        ).alias("pos0", "chunk_h"),
+    ).select("doc_id", F.col("pos0").cast("long").alias("pos"), "chunk_h")
+    totals = chh.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     rn = F.row_number().over(
-        W.partitionBy("chunk").orderBy("doc_id", "pos")
+        W.partitionBy("chunk_h").orderBy("doc_id", "pos")
     )
-    kept = ch.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    reassembled = kept.groupBy("doc_id").agg(
+    kept = (
+        chh.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos")
+    )
+    # surviving positions per doc (longs, bounded by doc length), then
+    # ONE doc-keyed join against the word arrays to rebuild the text
+    kept_pos = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
+        F.array_sort(F.collect_list("pos")).alias("keep_pos"),
+    )
+    reassembled = kept_pos.join(st, "doc_id").select(
+        "doc_id",
+        "n_kept",
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "chunk"))
+                F.col("keep_pos"),
+                lambda p: F.array_join(
+                    F.slice(
+                        F.col("w"), (p * LINE_W + 1).cast("int"), LINE_W
+                    ),
+                    " ",
                 ),
-                lambda s: s["chunk"],
             ),
             " ",
         ).alias("clean_text"),
