@@ -357,7 +357,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(rank.cast("long").alias("rank"), "pair", "cnt")
 
 
-BPE_ROUNDS = 3
+BPE_ROUNDS = 8
 
 # Token-stream encoding for exact greedy BPE merges in BOTH engines:
 # a word's tokens are joined with DOUBLED separators ('§§a§§b§§...').
@@ -378,9 +378,14 @@ def _bpe_oracle() -> str:
                                         x -> x <> '')) AS word
               FROM documents)
     )"""
+    # MATERIALIZED: w{k} is referenced by both c{k+1} and w{k+1} (and
+    # c{k} three times via scalar subqueries) — without the hint DuckDB
+    # may inline each reference and re-derive the whole merge lineage
+    # per round, the exact O(rounds^2) recompute the Spark side's
+    # per-round persist avoids.
     for k in range(1, BPE_ROUNDS + 1):
         sql += f""",
-    c{k} AS (
+    c{k} AS MATERIALIZED (
         SELECT pair, count(*) AS cnt FROM (
             SELECT unnest(list_transform(range(1, len(t)),
                                          i -> t[i] || ' ' || t[i+1]))
@@ -390,7 +395,7 @@ def _bpe_oracle() -> str:
                   FROM w{k - 1})
         ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
     ),
-    w{k} AS (
+    w{k} AS MATERIALIZED (
         SELECT replace(w,
             '§' || string_split((SELECT pair FROM c{k}), ' ')[1]
                 || '§§'
@@ -419,15 +424,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one explode + map-side-combinable count +
     TakeOrdered(1) for the argmax pair, then a narrow replace — no
-    UDF, no shuffle beyond the census agg; the token stream column
-    rides in executor memory across rounds ({BPE_ROUNDS} chained
-    narrow projections of lineage, no checkpoint needed)."""
+    UDF, no shuffle beyond the census agg. The merged stream is
+    PERSISTED each round (r6, VERDICT r5 item 4): round k's census
+    reads round k-1's cached stream instead of re-executing the scan
+    plus k-1 replaces from lineage, turning O(rounds^2) total work
+    into O(rounds) — the property that lets BPE_ROUNDS grow from 3 to
+    {BPE_ROUNDS} (and to a real tokenizer's thousands). Only a
+    parent/child pair of streams is cached at once (~the token stream
+    size, bounded, eviction-safe since lineage is kept); the pair-delta
+    census (update only counts adjacent to the merged pair) is the
+    remaining SCALE.md roadmap step."""
     d = load_table(spark, sf_dir, "documents")
     st = d.select(F.explode(words("text")).alias("word")).select(
         F.concat(
             F.lit("§§"), F.regexp_replace("word", "(.)", "$1§§")
         ).alias("w")
-    )
+    ).persist()
+    cached = [st]
     results = []
     for k in range(1, BPE_ROUNDS + 1):
         tk = st.select(
@@ -451,6 +464,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .first()
         )
+        # the census action just materialized st's cache, so every
+        # ANCESTOR (needed only to build st) can be released; st itself
+        # stays cached until the next census materializes its child
+        while len(cached) > 1:
+            cached.pop(0).unpersist()
         pa, pb = top["pair"].split(" ")
         results.append((k, top["pair"], top["cnt"]))
         # typed F.replace (not an interpolated F.expr): corpus tokens
@@ -461,7 +479,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"§{pa}§§{pb}§"),
                 F.lit(f"§{pa}{pb}§"),
             ).alias("w")
-        )
+        ).persist()
+        cached.append(st)
+    for c in cached:
+        c.unpersist()
     return spark.createDataFrame(
         results, "round long, pair string, cnt long"
     )
