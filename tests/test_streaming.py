@@ -103,3 +103,51 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
 
     assert len(first) == 2 and len(second) == 2  # no re-processing
     assert sum(first) + sum(second) == total_rows
+
+
+def test_event_time_ttl_hand_verified(spark, tmp_path):
+    """q_stateful_ttl_event on a constructed micro-corpus with sessions
+    known by hand: a 2-day event-time gap closes a session mid-stream
+    (tombstone emitted when the next event arrives OR when the
+    watermark passes — provably the same set on ordered staged input);
+    a trailing session closes iff last_ts + TTL < max_ts - 1 h."""
+    from datetime import datetime, timedelta
+
+    from confluent_example_firehose_spark.registry import all_queries
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, dt, uid, etype, val):
+        return (eid, t0 + dt, uid, etype, float(val), "{}")
+
+    rows = [
+        # key (1, a): two events 1 h apart, then a 10-day gap ->
+        # session 1 (n=2, last=v2) closed mid-stream; session 2 (n=1)
+        # trailing-closed because t0+10d + 2d < t0+20d - 1h
+        ev(1, timedelta(hours=0), 1, "a", 1.0),
+        ev(2, timedelta(hours=1), 1, "a", 2.0),
+        ev(3, timedelta(days=10), 1, "a", 3.0),
+        # key (2, b): single event at the global max ts -> its session
+        # survives (last_ts + 2d > max_ts - 1h): NO tombstone
+        ev(4, timedelta(days=20), 2, "b", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "micro_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+    out = all_queries()["q_stateful_ttl_event"].fn(spark, sf_dir)
+    got = {
+        (r["user_id"], r["event_type"], r["n_events"]): (
+            r["last_value"],
+            r["last_ts"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 2): (2.0, t0 + timedelta(hours=1)),
+        (1, "a", 1): (3.0, t0 + timedelta(days=10)),
+    }
