@@ -111,7 +111,7 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     WITH st AS (
         SELECT doc_id, w FROM (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '),
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                x -> x <> '') AS w
             FROM documents
         ) WHERE len(w) >= 2
@@ -212,7 +212,7 @@ def q_quality_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(nw) AS BIGINT) AS n_tokens
         FROM (
             SELECT source, lang,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                    x -> x <> '')) AS nw
             FROM documents
         )
