@@ -275,6 +275,7 @@ def simhash_candidate_pairs(
     fp: DataFrame,
     n_blocks: int = 4,
     max_bucket: int = 256,
+    strict: bool = True,
 ) -> DataFrame:
     """Pigeonhole blocking over a (_id, fp) fingerprint table: split the
     64-bit fingerprint into n_blocks equal bit-blocks. A pair with
@@ -282,7 +283,21 @@ def simhash_candidate_pairs(
     shares at least one EXACT block and an equality bucket join on
     (block_id, block_value) finds it without the O(n^2) cross join —
     full recall for d < n_blocks, probabilistic above (the standard
-    64-bit/4-block d<=3 scheme). Verify with hamming64 afterwards."""
+    64-bit/4-block d<=3 scheme). Verify with hamming64 afterwards.
+
+    strict=True (ADVICE r5): the d < n_blocks FULL-recall contract
+    holds only while no bucket exceeds max_bucket — beyond it, buckets
+    are dropped and recall silently degrades. The guard embeds a
+    one-row over-cap census into the plan and raise_error()s the job
+    if any bucket was dropped, so a skewed fingerprint distribution
+    fails LOUDLY instead of shipping an incomplete pair set. Cost: one
+    extra (block_id, block_value) count aggregation branch (map-side
+    combinable, one row per block) joined in as a broadcast scalar —
+    no change to the candidate pipeline's single bucket shuffle. The
+    guard evaluates per candidate row (the filter reference keeps
+    Catalyst from pruning it); the degenerate corpus where EVERY
+    bucket is over-cap yields an empty candidate set rather than an
+    error — tests/test_dedup.py pins the raising path."""
     width = 64 // n_blocks
     mask = (1 << width) - 1
     blocks = F.array(
@@ -299,7 +314,39 @@ def simhash_candidate_pairs(
     banded = fp.select("_id", F.explode(blocks).alias("b")).select(
         "_id", "b.block_id", "b.block_value"
     )
-    return bucket_pairs(banded, ["block_id", "block_value"], max_bucket)
+    pairs = bucket_pairs(banded, ["block_id", "block_value"], max_bucket)
+    if not strict:
+        return pairs
+    over = (
+        banded.groupBy("block_id", "block_value")
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.sum(
+                F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(0)
+            ).alias("_n_over")
+        )
+    )
+    guard = F.when(
+        F.col("_n_over") > 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "simhash pigeonhole recall contract violated: "
+                ),
+                F.col("_n_over").cast("string"),
+                F.lit(
+                    f" block(s) over max_bucket={max_bucket} were "
+                    "dropped; raise the cap or shard the corpus"
+                ),
+            )
+        ),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(over))
+        .withColumn("_g", guard)
+        .filter(F.col("_g").isNull())
+        .drop("_n_over", "_g")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -516,9 +516,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(ER_TOPN)
 
 
+SRC_MATRIX_TAU = 0.5  # verify threshold, inside the dup band (ADVICE r5)
+
+
 @register(
     "q_dedup_source_matrix",
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT doc_id, source,
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
@@ -542,7 +545,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.doc_id < b.doc_id
           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-              >= 0.2
+              >= {SRC_MATRIX_TAU}
     )
     SELECT source_a, source_b, count(*) AS n_pairs,
            round(CAST(sum(jac_ppm) AS DOUBLE) / 1000000 / count(*), 6)
@@ -559,6 +562,14 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer ppm BEFORE the sum (a raw double mean would
     be accumulation-order-dependent); the mean is one exact-integer
     division at the end.
+
+    The verify threshold is {SRC_MATRIX_TAU} — INSIDE the dup band
+    (ADVICE r5): because this query AVERAGES similarity per cell, a
+    0.2 cutoff would make the stated semantics depend on mid-band
+    (0.2-0.8) pairs the 8-band LSH recalls at ~1%; at 0.5+ the banding
+    miss probability is <2e-4 per pair (the q_dedup_near argument), so
+    the oracle's exact all-pairs set and the banded candidate set
+    agree on any corpus without a pile of pairs AT the threshold.
 
     Scale shape: the pair set comes from the same banded-LSH candidate
     pipeline as q_dedup_near (one bucket shuffle, recall argument
@@ -586,7 +597,7 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a", "id_b", jaccard(F.col("sha"), F.col("shb")).alias("jac")
         )
-        .filter(F.col("jac") >= 0.2)
+        .filter(F.col("jac") >= SRC_MATRIX_TAU)
         .join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .select(

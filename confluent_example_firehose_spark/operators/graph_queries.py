@@ -517,7 +517,6 @@ def _trustrank_oracle() -> str:
     n AS (SELECT DISTINCT src AS node FROM e),
     s AS (SELECT node FROM n
           WHERE node % 2 = 0 AND (node // 2) % {BFS_SEED_MOD} = 0),
-    ns AS (SELECT count(*) AS k FROM s),
     r0 AS (
         SELECT n.node,
                CASE WHEN sd.node IS NULL THEN CAST(0 AS BIGINT)
@@ -561,6 +560,16 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic and fixed round count; nodes never reached by
     trust stay at exactly 0 and are filtered, so the top-{PR_TOPK}
     output is the trusted neighborhood ranking.
+
+    Teleport variant (ADVICE r5): each seed receives the FULL
+    0.15 * PR_SCALE teleport base rather than an equal 1/|seeds| share
+    — an unnormalized seed-membership teleport vector. Textbook
+    TrustRank normalizes by the seed count, which in exact arithmetic
+    only rescales every rank by the same constant; the unnormalized
+    form keeps the fixed-point integer ladder seed-count-independent
+    (dividing the base by |seeds| would push early-round ranks into
+    the floor-division noise floor). Both engines compute the
+    identical variant, so the hash check is exact.
 
     Scale shape: identical to q_graph_pagerank — one src-keyed shuffle
     per round; the zero-rank filter keeps each round's join input to

@@ -143,7 +143,12 @@ def test_simhash8_bucket_cap_regime(spark):
         (10 + i, (i + 3) << 16) for i in range(298)
     ]
     fp = spark.createDataFrame(rows, "_id long, fp long")
-    old_cap = simhash_candidate_pairs(fp, n_blocks=8, max_bucket=256)
+    # strict=False reproduces the OLD silent-drop behavior this test
+    # documents; with the r6 strict default the same call raises
+    # instead (pinned by test_simhash_strict_guard_raises_on_over_cap)
+    old_cap = simhash_candidate_pairs(
+        fp, n_blocks=8, max_bucket=256, strict=False
+    )
     sized = simhash_candidate_pairs(
         fp, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP
     )
@@ -211,3 +216,28 @@ def test_bucket_pairs_refined_noop_under_cap(spark):
         ).collect()
     }
     assert base == ref
+
+
+def test_simhash_strict_guard_raises_on_over_cap(spark):
+    """ADVICE r5: the pigeonhole full-recall contract must fail loudly.
+    A fingerprint table whose blocks collide beyond max_bucket (with a
+    small surviving bucket so candidates exist) must raise_error the
+    job under strict=True and pass silently with strict=False."""
+    import pytest
+    from confluent_example_firehose_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    # 9 identical fingerprints -> every block bucket has 9 ids (> cap
+    # of 8 with the 2-id bucket below it); 2 distinct ones -> one
+    # under-cap bucket that still yields a candidate pair
+    rows = [(i, 0xDEADBEEF) for i in range(9)] + [
+        (100, 0x0F0F), (101, 0x0F0F)
+    ]
+    fp = spark.createDataFrame(rows, ["_id", "fp"])
+    strict = simhash_candidate_pairs(fp, max_bucket=8, strict=True)
+    with pytest.raises(Exception, match="recall contract violated"):
+        strict.collect()
+    loose = simhash_candidate_pairs(fp, max_bucket=8, strict=False)
+    got = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    assert got == {(100, 101)}
