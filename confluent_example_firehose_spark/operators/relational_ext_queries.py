@@ -1106,11 +1106,24 @@ def q_nested_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
+    cnt AS (
+        SELECT event_type, cents, count(*) AS cc
+        FROM c GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               sum(cc) OVER (PARTITION BY event_type
+                             ORDER BY cents) AS cum
+        FROM cnt
+    ),
+    tot AS (SELECT event_type, count(*) AS nn FROM c
+            GROUP BY event_type),
     th AS (
         SELECT event_type,
-               CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
-               CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
-        FROM c GROUP BY event_type
+               min(cents) FILTER (WHERE 20 * cum >= nn) AS lo,
+               min(cents) FILTER (WHERE 20 * cum >= 19 * nn) AS hi
+        FROM cum JOIN tot USING (event_type)
+        GROUP BY event_type
     )
     SELECT c.event_type, count(*) AS n,
            CAST(count(*) FILTER (WHERE cents < lo) AS BIGINT)
@@ -1131,25 +1144,48 @@ def q_nested_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics — the outlier-clipping pass a
     curation pipeline runs before trusting a mean: per event type, the
-    p05/p95 frontier is computed exactly, QUANTIZED to integer cents
-    (round-before-threshold, the engine-portability rule: interpolated
-    percentiles are doubles, and clipping against a raw double would
-    mix float values into the sum and make it accumulation-order-
-    dependent), then every value clips to the integer frontier and the
-    winsorized mean comes from an EXACT integer sum. Clip counts ride
-    along so the report shows how much tail was tamed.
+    p05/p95 frontier is found by an INTEGER RANK-CROSSING rule
+    (ADVICE r5, the q_quantile_mergeable 2c>=n form): lo = the
+    smallest cents value whose cumulative count reaches n/20, hi =
+    the smallest reaching 19n/20 — inverse ECDF on exact integers, so
+    both engines agree bit-for-bit by construction. (The previous
+    round(percentile(...)) frontier interpolated a double and rounded
+    it; a frontier landing on x.5 or off by 1 ULP between engines
+    would flip the rounded long and every downstream clip count.)
+    Every value then clips to the integer frontier and the winsorized
+    mean comes from an EXACT integer sum; clip counts ride along so
+    the report shows how much tail was tamed.
 
-    Scale shape: two passes — a per-group exact-percentile aggregate
-    (bounded group count; the approx-sketch swap is q_agg_quantiles)
-    broadcast back onto the fact, then one map-side-combinable
-    clipped-sum aggregate."""
+    Scale shape: the frontier pass is a per-(type, cents) count (map-
+    side combinable, one row per distinct value) + a window over the
+    distinct values of each type (bounded by value cardinality, not
+    row count) + a tiny min-filter aggregate; the result broadcasts
+    back onto the fact for one clipped-sum aggregate. The approx-
+    sketch swap for unbounded cardinality is q_agg_quantiles."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    th = ev.groupBy("event_type").agg(
-        F.round(F.percentile("cents", 0.05)).cast("long").alias("lo"),
-        F.round(F.percentile("cents", 0.95)).cast("long").alias("hi"),
+    cnt = ev.groupBy("event_type", "cents").agg(
+        F.count("*").alias("cc")
+    )
+    cum = cnt.withColumn(
+        "cum",
+        F.sum("cc").over(
+            Window.partitionBy("event_type").orderBy("cents")
+        ),
+    )
+    tot = ev.groupBy("event_type").agg(F.count("*").alias("nn"))
+    jc = cum.join(F.broadcast(tot), "event_type")
+    th = jc.groupBy("event_type").agg(
+        F.min(
+            F.when(20 * F.col("cum") >= F.col("nn"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                20 * F.col("cum") >= 19 * F.col("nn"), F.col("cents")
+            )
+        ).alias("hi"),
     )
     j = ev.join(F.broadcast(th), "event_type")
     clipped = (
