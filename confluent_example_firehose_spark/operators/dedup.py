@@ -227,8 +227,21 @@ def minhash_candidate_pairs(
     return bucket_pairs(banded, ["band_id", "band_hash"], max_bucket)
 
 
+def group_buckets(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """The one bucket shuffle every candidate pipeline here runs:
+    (bucket..., sorted id list). Exposed so guard branches can consume
+    the IDENTICAL aggregate subtree — Catalyst's ReuseExchange then
+    dedups the shuffle instead of re-aggregating the banded table."""
+    return banded.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list("_id")).alias("ids")
+    )
+
+
 def bucket_pair_instances(
-    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 64
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int = 64,
+    strict_msg: str | None = None,
 ) -> DataFrame:
     """(id_a < id_b) pair INSTANCES from a (id, bucket...) table — one
     row per in-bucket co-occurrence, multiplicity preserved (a pair
@@ -238,12 +251,32 @@ def bucket_pair_instances(
     boilerplate, O(k^2) pair blowup). Callers that only need the
     candidate SET use bucket_pairs; callers that need co-occurrence
     COUNTS (e.g. graph projections: suppliers weighted by shared
-    customers) aggregate these instances."""
-    buckets = (
-        banded.groupBy(*bucket_cols)
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    customers) aggregate these instances.
+
+    strict_msg (ADVICE r5): when set, an over-cap bucket RAISES with
+    that message instead of being dropped — for callers whose recall
+    contract the silent drop would void (simhash pigeonhole blocking).
+    The guard is an assert_true folded into the same per-bucket
+    projection, so it costs one scalar comparison per bucket row: no
+    extra aggregation, branch, or shuffle."""
+    grouped = group_buckets(banded, bucket_cols).filter(
+        F.size("ids") >= 2
     )
+    if strict_msg is None:
+        buckets = grouped.filter(F.size("ids") <= max_bucket)
+    else:
+        # assert_true returns NULL on success (the isNull() keeps the
+        # expression referenced so Catalyst can't prune it) and raises
+        # the query on the first over-cap bucket.
+        ok = F.assert_true(
+            F.size("ids") <= max_bucket,
+            F.concat(
+                F.lit(strict_msg + " (bucket size "),
+                F.size("ids").cast("string"),
+                F.lit(f" > max_bucket={max_bucket})"),
+            ),
+        )
+        buckets = grouped.filter(ok.isNull())
     n = F.size("ids")
     pairs = F.flatten(
         F.transform(
@@ -263,12 +296,17 @@ def bucket_pair_instances(
 
 
 def bucket_pairs(
-    banded: DataFrame, bucket_cols: list[str], max_bucket: int = 64
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int = 64,
+    strict_msg: str | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs — bucket_pair_instances
     collapsed to the set. Shared by MinHash-LSH banding, SimHash
     prefix blocking, and ER blocking."""
-    return bucket_pair_instances(banded, bucket_cols, max_bucket).distinct()
+    return bucket_pair_instances(
+        banded, bucket_cols, max_bucket, strict_msg
+    ).distinct()
 
 
 def simhash_candidate_pairs(
@@ -287,17 +325,14 @@ def simhash_candidate_pairs(
 
     strict=True (ADVICE r5): the d < n_blocks FULL-recall contract
     holds only while no bucket exceeds max_bucket — beyond it, buckets
-    are dropped and recall silently degrades. The guard embeds a
-    one-row over-cap census into the plan and raise_error()s the job
-    if any bucket was dropped, so a skewed fingerprint distribution
-    fails LOUDLY instead of shipping an incomplete pair set. Cost: one
-    extra (block_id, block_value) count aggregation branch (map-side
-    combinable, one row per block) joined in as a broadcast scalar —
-    no change to the candidate pipeline's single bucket shuffle. The
-    guard evaluates per candidate row (the filter reference keeps
-    Catalyst from pruning it); the degenerate corpus where EVERY
-    bucket is over-cap yields an empty candidate set rather than an
-    error — tests/test_dedup.py pins the raising path."""
+    are dropped and recall silently degrades. Under strict, an
+    over-cap bucket raises (assert_true folded into the pair-expansion
+    projection — see bucket_pair_instances' strict_msg), so a skewed
+    fingerprint distribution fails LOUDLY instead of shipping an
+    incomplete pair set, at the cost of one scalar comparison per
+    bucket row (no extra aggregation, branch, or shuffle — a naive
+    one-row census branch measured +0.24 s on the sf0.1 headline).
+    tests/test_dedup.py pins the raising path."""
     width = 64 // n_blocks
     mask = (1 << width) - 1
     blocks = F.array(
@@ -314,38 +349,15 @@ def simhash_candidate_pairs(
     banded = fp.select("_id", F.explode(blocks).alias("b")).select(
         "_id", "b.block_id", "b.block_value"
     )
-    pairs = bucket_pairs(banded, ["block_id", "block_value"], max_bucket)
-    if not strict:
-        return pairs
-    over = (
-        banded.groupBy("block_id", "block_value")
-        .agg(F.count("*").alias("_n"))
-        .agg(
-            F.sum(
-                F.when(F.col("_n") > max_bucket, F.lit(1)).otherwise(0)
-            ).alias("_n_over")
-        )
+    msg = (
+        "simhash pigeonhole recall contract violated: a block bucket "
+        "exceeds the cap and would be dropped; raise the cap or shard "
+        "the corpus"
+        if strict
+        else None
     )
-    guard = F.when(
-        F.col("_n_over") > 0,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "simhash pigeonhole recall contract violated: "
-                ),
-                F.col("_n_over").cast("string"),
-                F.lit(
-                    f" block(s) over max_bucket={max_bucket} were "
-                    "dropped; raise the cap or shard the corpus"
-                ),
-            )
-        ),
-    )
-    return (
-        pairs.crossJoin(F.broadcast(over))
-        .withColumn("_g", guard)
-        .filter(F.col("_g").isNull())
-        .drop("_n_over", "_g")
+    return bucket_pairs(
+        banded, ["block_id", "block_value"], max_bucket, strict_msg=msg
     )
 
 

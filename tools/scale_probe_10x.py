@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""10x-clone scale probe (VERDICT r4/r5): clone the sf0.1 corpus 10x
+with DISJOINT key remaps (10 independent copies — more data, same
+distribution) and time target queries against both, same warm session.
+
+Ratios near 1x say the query is still overhead-bound at sf0.1 on 32
+cores; ratios near 10x say it is data-bound and scaling linearly; a
+markedly superlinear ratio flags a plan to re-audit. Results land in
+SCALE.md.
+
+Cloned tables: documents (doc_id += k*1e7), orders (o_orderkey and
+o_custkey offset per copy), lineitem (l_orderkey and l_suppkey offset
+in lockstep) — so the purchase graph becomes 10 disjoint copies of
+itself. Every other table is symlinked unchanged.
+
+Usage: python tools/scale_probe_10x.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from confluent_example_firehose_spark.registry import query_fns  # noqa: E402
+from confluent_example_firehose_spark.schema import TABLE_NAMES  # noqa: E402
+from confluent_example_firehose_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+CLONE = "/tmp/sf0.1_x10"
+COPIES = 10
+
+DEFAULT = [
+    "q_dedup_lines",
+    "q_bpe_merges",
+    "q_split_leakage",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+]
+
+# (table, select-with-{k} template); key offsets keep copies disjoint
+_CLONES = {
+    "documents": (
+        "SELECT doc_id + {k} * 10000000 AS doc_id, * EXCLUDE (doc_id) "
+        "FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey + {k} * 100000000 AS o_orderkey, "
+        "o_custkey + {k} * 10000000 AS o_custkey, "
+        "* EXCLUDE (o_orderkey, o_custkey) FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey + {k} * 100000000 AS l_orderkey, "
+        "l_suppkey + {k} * 10000000 AS l_suppkey, "
+        "* EXCLUDE (l_orderkey, l_suppkey) FROM t"
+    ),
+}
+
+
+def build_clone() -> None:
+    if os.path.isdir(CLONE):
+        return
+    os.makedirs(CLONE)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{CLONE}/{t}.parquet"
+        tmpl = _CLONES.get(t)
+        if tmpl is None:
+            os.symlink(src, dst)
+            continue
+        con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}'")
+        union = "\nUNION ALL\n".join(
+            tmpl.format(k=k) for k in range(COPIES)
+        )
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+    con.close()
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    build_clone()
+    fns = query_fns()
+    spark = get_spark("scale-probe-10x")
+    fns["q_agg_basic"](spark, BASE).collect()  # JVM warm
+    print("| query | sf0.1 s | 10x s | ratio |")
+    print("|---|---|---|---|")
+    for name in names:
+        times = []
+        for d in (BASE, CLONE):
+            t0 = time.monotonic()
+            fns[name](spark, d).collect()
+            times.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+        print(
+            f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
+            f"| {times[1] / times[0]:.1f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
