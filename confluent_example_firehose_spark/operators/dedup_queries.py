@@ -256,9 +256,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d<=3 full-recall contract (also pinned by tests/test_dedup.py)
     makes the bucketed Spark output equal to the O(n^2) oracle as long
     as no bucket exceeds the skew cap — at this corpus's fingerprint
-    spread buckets are single digits. The same conversion gives the
-    dedup state store content-addressable fingerprints: any engine can
-    reproduce them from text alone."""
+    spread buckets are single digits, and since r6 (ADVICE r5) an
+    over-cap bucket RAISES instead of silently dropping (the strict
+    guard in simhash_candidate_pairs), so the contract is enforced at
+    runtime, not assumed. The same conversion gives the dedup state
+    store content-addressable fingerprints: any engine can reproduce
+    them from text alone."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # fp feeds three plan branches (blocking + both verify joins);
     # persist so the scan->shingle->UDF subtree runs once, not 3x.
@@ -293,9 +296,9 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4096 ids) the guarantee covers uniform corpora to roughly
     256 * 4096 / 2 ~= 500k docs; beyond that, raise the cap (pair
     expansion stays bounded by cap^2/2 per bucket) or shard the corpus
-    and run per shard — bucket drops above the cap are the documented
-    trade, now sized explicitly instead of inherited from the generic
-    256 default that broke the guarantee at ~65k docs.
+    and run per shard — and since r6 an over-cap bucket RAISES (the
+    strict guard, ADVICE r5) rather than silently voiding the
+    guarantee the way the generic 256 default did at ~65k docs.
     tests/test_dedup.py pins d<=7 recall at a bucket size the old cap
     would have silently dropped. Same candidate/verify split, same
     single bucket shuffle as q_dedup_simhash — and hash-checked the
