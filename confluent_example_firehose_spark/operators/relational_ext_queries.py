@@ -1113,16 +1113,15 @@ def q_nested_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum AS (
         SELECT event_type, cents,
                sum(cc) OVER (PARTITION BY event_type
-                             ORDER BY cents) AS cum
+                             ORDER BY cents) AS cum,
+               sum(cc) OVER (PARTITION BY event_type) AS nn
         FROM cnt
     ),
-    tot AS (SELECT event_type, count(*) AS nn FROM c
-            GROUP BY event_type),
     th AS (
         SELECT event_type,
                min(cents) FILTER (WHERE 20 * cum >= nn) AS lo,
                min(cents) FILTER (WHERE 20 * cum >= 19 * nn) AS hi
-        FROM cum JOIN tot USING (event_type)
+        FROM cum
         GROUP BY event_type
     )
     SELECT c.event_type, count(*) AS n,
@@ -1169,14 +1168,17 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ev.groupBy("event_type", "cents").agg(
         F.count("*").alias("cc")
     )
-    cum = cnt.withColumn(
+    # both windows share the event_type partitioning -> ONE exchange;
+    # the unbounded sum doubles as the group total, so no second scan
+    # of the fact and no totals join
+    jc = cnt.withColumn(
         "cum",
         F.sum("cc").over(
             Window.partitionBy("event_type").orderBy("cents")
         ),
+    ).withColumn(
+        "nn", F.sum("cc").over(Window.partitionBy("event_type"))
     )
-    tot = ev.groupBy("event_type").agg(F.count("*").alias("nn"))
-    jc = cum.join(F.broadcast(tot), "event_type")
     th = jc.groupBy("event_type").agg(
         F.min(
             F.when(20 * F.col("cum") >= F.col("nn"), F.col("cents"))
