@@ -544,7 +544,21 @@ def _stream_join_run(stream: DataFrame, root: str) -> DataFrame:
           ON p.p_user = c.c_user
          AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
     ),
-    wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events)
+    wm AS (
+        -- Spark's GLOBAL watermark under the default
+        -- multipleWatermarkPolicy=min is the minimum over the two
+        -- JOIN INPUTS' event-time maxima (each tracked on the
+        -- type-filtered stream, ms-floored), NOT max(ts) of the whole
+        -- table — a global max from a third event type would
+        -- overstate it and close clicks Spark has not emitted yet
+        -- (caught by the r6 sf0.001 drift sweep).
+        SELECT least(
+            date_trunc('milliseconds',
+                (SELECT max(c_ts) FROM c)),
+            date_trunc('milliseconds',
+                (SELECT max(p_ts) FROM p))
+        ) - INTERVAL '30 minutes' AS w
+    )
     SELECT c_user,
            count(*) FILTER (WHERE p_value IS NOT NULL) AS n_matched,
            count(*) FILTER (WHERE p_value IS NULL) AS n_unmatched,
@@ -563,12 +577,16 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     too early and a late match makes the null row wrong; the watermark
     is what licenses it).
 
-    Hash-checked (r5): matched rows emit eagerly like the inner join;
-    unmatched rows emit exactly for clicks whose match window the
-    final watermark (max ts - 30 min) has closed — the oracle applies
-    the same cutoff to the batch left join. The flush batch
-    (stage_event_files) is what delivers the final watermark; without
-    it the last file's outer rows would sit unemitted forever."""
+    Hash-checked (r5; oracle corrected r6): matched rows emit eagerly
+    like the inner join; unmatched rows emit exactly for clicks whose
+    match window the final GLOBAL watermark has closed. That watermark
+    is min(max click ts, max purchase ts) - 30 min — Spark's
+    multipleWatermarkPolicy=min over the two join inputs' own maxima —
+    not max(ts) of the whole table: the r6 sf0.001 drift sweep caught
+    one click sitting between the two cutoffs (the global max came
+    from a third event type). The flush batch (stage_event_files) is
+    what delivers the final watermark; without it the last file's
+    outer rows would sit unemitted forever."""
     root = _workdir()
     with _few_partitions(spark):
         stream = _staged_events(spark, sf_dir, root)
