@@ -69,6 +69,15 @@ _RECHECK: tuple[str, ...] = (
     # rows-only -> hash-checked conversion that needs a fresh driver row
     # to record its new oracle (VERDICT r5 item 2).
     "q_similarity_ivf",
+    # r7 TODO (set at the START of r7 — editing tier 2 mid-r6 would
+    # displace the stale set from THIS round's window): re-adjudicate
+    # the r6-changed-output queries that could not fit the r6 window:
+    # q_bpe_merges (3->8 rounds), q_dedup_source_matrix (tau 0.2->0.5),
+    # q_robust_stats (rank frontier), q_dedup_lines (hashed window
+    # key), q_stream_join_outer (watermark oracle), q_graph_trustrank
+    # (oracle cleanup), q_stateful_ttl_event if its r6 row is missing,
+    # and q_doc_fingerprint (the one stale r2 row the window couldn't
+    # hold).
 )
 
 def _driver_history() -> dict[str, int]:
