@@ -151,3 +151,38 @@ def test_event_time_ttl_hand_verified(spark, tmp_path):
         (1, "a", 2): (2.0, t0 + timedelta(hours=1)),
         (1, "a", 1): (3.0, t0 + timedelta(days=10)),
     }
+
+
+def test_event_time_ttl_boundary_strictness(spark, tmp_path):
+    """Pin the EventTimeTimeout firing condition the oracle's strict
+    `last_ts + TTL < watermark` mirrors: at EXACT equality
+    (deadline == final watermark) Spark does NOT evict; 1 second past
+    it, it does. Probed empirically in r6 — if a Spark upgrade flips
+    this to >=, the oracle must flip with it, and this test is the
+    tripwire."""
+    from datetime import datetime, timedelta
+
+    from confluent_example_firehose_spark.registry import all_queries
+
+    t0 = datetime(2024, 1, 1)
+
+    def run(extra):
+        rows = [
+            (1, t0, 1, "a", 1.0, "{}"),
+            # the second key's single event sets the final watermark to
+            # t0 + 2d (+ extra): exactly key 1's deadline when extra=0
+            (2, t0 + timedelta(days=2, hours=1) + extra, 2, "b", 2.0,
+             "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        d = str(tmp_path / f"sf_{extra.total_seconds():.0f}")
+        df.coalesce(1).write.parquet(d + "/events.parquet")
+        return all_queries()["q_stateful_ttl_event"].fn(spark, d).collect()
+
+    assert run(timedelta(0)) == []  # equality: no eviction
+    past = run(timedelta(seconds=1))  # strictly past: key 1 evicts
+    assert [(r["user_id"], r["event_type"]) for r in past] == [(1, "a")]
