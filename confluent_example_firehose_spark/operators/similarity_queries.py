@@ -28,7 +28,7 @@ TOP_K = 10
     "q_similarity_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-               FROM embeddings),
+               FROM embeddings WHERE len(embedding) > 0),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e
                WHERE vec_id < {N_QUERY_VECS})
     SELECT query_id, neighbor_id, cos
@@ -57,9 +57,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted fold (HOFs are CodegenFallback) runs once per vector,
     # not once per pair; cos = dot/(nq*nv) keeps the exact association
     # order of cosine() -> still bit-identical to the oracle.
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -91,7 +91,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embed",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id < {PAIR_CAP})
+               WHERE vec_id < {PAIR_CAP} AND len(embedding) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_cosine_similarity(a.v, b.v) AS cos
     FROM e a, e b
@@ -108,7 +108,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_similarity_lsh). Pair generation is a narrow map + two broadcast
     hash equi-joins — no BNLJ/cross join in the plan."""
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < PAIR_CAP
+        (F.col("vec_id") < PAIR_CAP) & (F.size("embedding") > 0)
     ).select("vec_id", to_double_array("embedding").alias("v"))
     e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
     a = e.select(
@@ -173,7 +173,8 @@ def _lsh_oracle(multiprobe: bool) -> str:
     p AS (SELECT query_id, qv, qbucket AS probe_bucket FROM q)"""
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE len(embedding) > 0),
     b AS (
         SELECT vec_id, v, {_lsh_bucket_sql(planes)} AS bucket FROM e
     ),
@@ -400,9 +401,9 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical dot fold, so the oracle recomputes the EXACT buckets
     from the same literals (see _lsh_bucket_sql) and replays the
     bucket-restricted top-k."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     planes = _hyperplanes(8, 64)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
@@ -458,9 +459,9 @@ def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (bounded: queries x 9), then a query-partitioned rank. Each
     corpus vector sits in ONE bucket, so probes never duplicate a
     candidate pair and no dedup pass is needed."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     planes = _hyperplanes(8, 64)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
@@ -515,7 +516,8 @@ MMR_L = 0.7        # lambda: relevance weight (diversity weight = 0.3)
 
 def _mmr_oracle() -> str:
     sql = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE len(embedding) > 0),
     rel AS (
         SELECT e.vec_id,
                list_cosine_similarity(
@@ -618,9 +620,9 @@ def q_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered(1) — k passes over a corpus-sized frame, the honest
     cost of exact MMR (production systems run it on the ANN top-N,
     which is q_similarity_lsh composed in front of this)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
     e = e.select("vec_id", "v", norm2(F.col("v")).alias("nv"))
     qv = e.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("nv").alias("nq")
