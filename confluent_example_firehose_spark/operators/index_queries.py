@@ -498,11 +498,17 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch estimates themselves are implementation-defined, so the
     hash-checked output pins the two invariants that matter instead:
-    (a) merge consistency — the unioned daily sketches estimate
-    EXACTLY what one direct whole-table sketch estimates (HLL union is
-    lossless w.r.t. the register state, so any divergence means a
-    broken merge), and (b) the estimate lands within 5% of the exact
-    distinct count, alongside that exact count.
+    (a) merge consistency — the unioned daily sketches estimate what
+    one direct whole-table sketch estimates to within the sketch error
+    envelope (5% of exact). NOT bit-equality: Datasketches' union
+    gadget promotes sparse-mode sketches through a max-lgK
+    intermediate, so once any input crosses into dense HLL mode the
+    merged estimate can legitimately differ from the direct sketch in
+    the last few counts — the r6 sf0.1 drift sweep caught exactly that
+    (1500 distincts; bit-equality held at sf0.01 only because
+    everything stayed in sparse mode). And (b) the direct estimate
+    lands within 5% of the exact distinct count, alongside that exact
+    count.
 
     Scale shape: two map-side-combinable sketch aggregations (state =
     one HLL register array per group, constant size) + one broadcast-
@@ -523,9 +529,10 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "event_type").select(
         "event_type",
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias(
-            "merge_consistent"
-        ),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("merge_consistent"),
         (
             F.abs(F.col("est_direct") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
