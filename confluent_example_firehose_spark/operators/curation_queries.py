@@ -238,7 +238,15 @@ def shingle_strings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("_id"), words(text_col).alias("_w")
     ).filter(F.size("_w") >= SHINGLE_N)
     w = F.col("_w")
-    idx = F.sequence(F.lit(1), F.size(w) - (SHINGLE_N - 1))
+    # when-guard despite the filter above: InferFiltersFromGenerate
+    # substitutes this whole expression into a predicate that can run
+    # BEFORE the size filter (caught by tools/drift_probe.py — an
+    # empty-text doc crashed element_at under ANSI); the guard makes
+    # the expression total, so predicate reordering is harmless
+    idx = F.when(
+        F.size(w) >= SHINGLE_N,
+        F.sequence(F.lit(1), F.size(w) - (SHINGLE_N - 1)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     sh = F.array_distinct(
         F.transform(
             idx,

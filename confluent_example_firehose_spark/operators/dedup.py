@@ -278,9 +278,16 @@ def bucket_pair_instances(
         )
         buckets = grouped.filter(ok.isNull())
     n = F.size("ids")
+    # total-expression guard: sequence(1, 0) steps DOWN to [1, 0] and
+    # element_at(ids, 0) errors under ANSI if a generate-inferred
+    # predicate evaluates the expansion on a 1-id bucket (see
+    # shingle_strings in curation_queries for the mechanism)
+    _pidx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
     pairs = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), n - 1),
+            _pidx,
             lambda i: F.transform(
                 F.slice(F.col("ids"), i + 1, n),
                 lambda other: F.struct(

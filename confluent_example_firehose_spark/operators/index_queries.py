@@ -90,8 +90,12 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == 1:
             return F.col("w")
         w = F.col("w")
+        # total-expression guard (see shingle_strings)
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
         return F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(w, i + j) for j in range(n)]
             ),

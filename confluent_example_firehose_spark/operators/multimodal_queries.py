@@ -37,7 +37,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "label",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("e0"),
     )
 
 

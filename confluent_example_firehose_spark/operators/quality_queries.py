@@ -70,8 +70,13 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_distinct"),
     )
     w = F.col("w")
+    # total-expression guard (see shingle_strings): generate-inferred
+    # predicates may evaluate grams on rows the size filter excludes
+    _gidx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
+        _gidx,
         lambda i: F.xxhash64(F.element_at(w, i), F.element_at(w, i + 1)),
     )
     bg = (

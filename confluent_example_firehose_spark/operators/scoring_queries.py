@@ -83,8 +83,12 @@ def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w") >= 2
     )
     w = F.col("w")
+    # total-expression guard (see shingle_strings in curation_queries)
+    _gidx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
+        _gidx,
         lambda i: F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1)
         ),
