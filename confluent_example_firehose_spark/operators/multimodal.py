@@ -49,7 +49,11 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic fake payloads: the binary column is the utf-8 text
     (stands in for encoded image bytes), metadata derived from it.
     Real ingestion would read the bytes from object storage with
-    `spark.read.format('binaryFile')`."""
+    `spark.read.format('binaryFile')`. Rows with a NULL source are
+    dropped here — the ingest contract: a media row without a payload
+    does not exist (a None reaching the Arrow kernels is a crash, not
+    a value; caught by tools/drift_probe.py's NULL-text doc)."""
+    df = df.filter(F.col(text_col).isNotNull())
     payload = F.encode(F.col(text_col), "utf-8")
     meta = F.struct(
         F.lit("image").alias("media_type"),

@@ -46,7 +46,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +66,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id, 64 AS width, 64 AS height, 4096 AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

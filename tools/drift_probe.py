@@ -5,8 +5,13 @@ legally throw at us that today's data happens not to contain:
 
 - documents: tab / newline / double-space separators injected into a
   third of the texts (doc_id %% 7 / 11 / 13), plus an empty-text doc,
-  a 1-word doc, and a 2-word doc (below the shingle threshold);
-- embeddings: one empty vector appended.
+  a NULL-text doc, a 1-word doc, and a 2-word doc (below the shingle
+  threshold);
+- embeddings: one empty vector appended;
+- events: a new 'drift_const' event type with a CONSTANT value and a
+  single-user, single-day footprint — zero variance / zero spread is
+  division-by-zero bait for every per-type regression, correlation,
+  and quantile aggregate under ANSI mode.
 
 Every oracle is supposed to state engine-portable semantics (words()
 splits \\s+; list ops guard len > 0); this probe proves it on data
@@ -60,8 +65,24 @@ def build() -> None:
                 SELECT * FROM (VALUES
                     (9000, '', 'en', 'drift', 0),
                     (9001, 'solo', 'en', 'drift', 4),
-                    (9002, 'two words', 'en', 'drift', 9))
+                    (9002, 'two words', 'en', 'drift', 9),
+                    (9003, NULL, 'en', 'drift', 0))
                     v(doc_id, text, lang, source, n_chars)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """)
+        elif t == "events":
+            con.execute(f"""
+            COPY (
+                SELECT * FROM '{src}'
+                UNION ALL
+                SELECT 900000 + i AS event_id,
+                       (SELECT min(ts) FROM '{src}')
+                           + to_microseconds(i * 1000000) AS ts,
+                       777777 AS user_id,
+                       'drift_const' AS event_type,
+                       42.0 AS value,
+                       '{{}}' AS props
+                FROM range(5) t(i)
             ) TO '{dst}' (FORMAT PARQUET)
             """)
         elif t == "embeddings":
