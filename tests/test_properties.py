@@ -230,3 +230,24 @@ def test_bpe_merge_encoding_greedy_exact(spark):
         " replace('§§a§§a§§a§§', '§a§§a§', '§aa§')"
     ).fetchone()
     assert d == (r["m1"], r["m2"])
+
+
+def test_corpus_stays_inside_case_mapping_parity(spark, sf_dir):
+    """Tripwire for an engine boundary the r6 unicode probe measured:
+    Spark's lower('İ') keeps the combining dot (i + U+0307) while
+    DuckDB's utf8proc folds to a bare 'i', so any text oracle would
+    diverge on such characters. The generator emits ASCII today; if a
+    regenerated corpus ever leaves ASCII, this fails and points here
+    instead of surfacing as an inscrutable oracle hash mismatch.
+    (Resolution if it fires legitimately: normalize case-divergent
+    codepoints at ingest, or move the affected oracles to byte-level
+    keys like portable_hash60 over raw text.)"""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_non_ascii = d.filter(
+        ~F.col("text").rlike(r"^[\x00-\x7F]*$")
+    ).count()
+    assert n_non_ascii == 0
