@@ -25,7 +25,7 @@ Both keep last-match-wins determinism via a unique-key tiebreak.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

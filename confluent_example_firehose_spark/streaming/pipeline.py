@@ -22,7 +22,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import METRIC_SCHEMA
 
 # The reference's consumer tuning (Configs.java:28-37), mapped onto
 # Spark's Kafka source options.
@@ -94,7 +93,6 @@ def stage_event_files(
     import glob
     import time
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..catalog import load_table

@@ -743,7 +743,7 @@ def q_sink_push_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     import http.server
     import threading
 
-    from .sinks import gateway_push_fn, push_sink
+    from .sinks import gateway_push_fn
 
     received: list[str] = []
 
