@@ -87,7 +87,7 @@ def connected_components(
     WITH RECURSIVE
     w AS (
         SELECT doc_id,
-               list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                          x -> x <> '')) AS ws
         FROM documents
         WHERE doc_id < {PAIR_CAP}
@@ -269,7 +269,7 @@ def shingle_strings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                )) AS sh
         FROM (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                x -> x <> '') AS w
             FROM documents
         )
@@ -354,7 +354,7 @@ CHUNK_STRIDE = 48
                AS chunk_md5
     FROM (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS w
         FROM documents
     ), UNNEST(range(1, len(w) + 1, {CHUNK_STRIDE})) AS t(s)
     WHERE len(w) > 0
@@ -658,7 +658,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     w AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                            x -> x <> '') AS ws0
         FROM documents
         WHERE doc_id < {PAIR_CAP}

@@ -86,7 +86,7 @@ def bounded_pairs(spark: SparkSession, n: int) -> DataFrame:
     oracle=f"""
     WITH w AS (
         SELECT doc_id,
-               list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                          x -> x <> '')) AS ws
         FROM documents
         WHERE doc_id < {PAIR_CAP}
@@ -139,7 +139,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
                    AS ws
         FROM documents
     ),
@@ -207,7 +207,7 @@ def _simhash_pairs_oracle(radius: int) -> str:
     return f"""
     WITH w AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
                    AS ws
         FROM documents
     ),
@@ -338,7 +338,7 @@ INCR_JAC = 0.5  # duplicate threshold
     oracle=f"""
     WITH w AS (
         SELECT doc_id,
-               list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                          x -> x <> '')) AS ws
         FROM documents
         WHERE doc_id < {INCR_NEW}
@@ -527,7 +527,7 @@ SRC_MATRIX_TAU = 0.5  # verify threshold, inside the dup band (ADVICE r5)
     oracle=f"""
     WITH w AS (
         SELECT doc_id, source,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
                    AS ws
         FROM documents
     ),
@@ -625,7 +625,7 @@ LINE_W = 10  # words per dedup "line" (the corpus has no newlines)
     oracle=f"""
     WITH w AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
                    AS ws
         FROM documents
     ),

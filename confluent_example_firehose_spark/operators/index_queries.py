@@ -27,7 +27,7 @@ MIX_SEED = "mix41"  # deterministic permutation salt
 QUANT_LEVELS = 255  # 8-bit scalar quantization
 HH_TOPK = 10  # heavy hitters reported
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 
 
 @register(

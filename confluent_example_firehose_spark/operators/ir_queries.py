@@ -25,7 +25,7 @@ BM25_TOP = 20
 TFIDF_TOP_TERMS = 3  # q_text_tfidf: top terms per document
 TFIDF_DOC_LIMIT = 50  # ... for doc_id < this bound (keeps output small)
 
-_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 
 
 def _terms_in(terms: tuple[str, ...]) -> str:

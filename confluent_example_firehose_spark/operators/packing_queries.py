@@ -25,7 +25,7 @@ PACK_SHARDS = 8  # deterministic layout shards (doc_id % PACK_SHARDS)
 EPOCH_SEED = "epoch7"  # epoch-shuffle salt: new epoch = new salt
 BATCH_SIZE = 8  # documents per training batch in the epoch shuffle
 
-_TOK_SQL = "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))"
+_TOK_SQL = "len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> ''))"
 
 
 def next_fit_bins(toks: list[int], budget: int = PACK_BUDGET) -> list[int]:

@@ -116,7 +116,7 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     WITH st AS (
         SELECT doc_id, w FROM (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                x -> x <> '') AS w
             FROM documents
         ) WHERE len(w) >= 2
@@ -217,7 +217,7 @@ def q_quality_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(nw) AS BIGINT) AS n_tokens
         FROM (
             SELECT source, lang,
-                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                    x -> x <> '')) AS nw
             FROM documents
         )

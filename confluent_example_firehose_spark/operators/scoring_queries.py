@@ -29,7 +29,7 @@ from .dedup import words
 BPE_TOPK = 20
 EMB_FIX = 1000  # fixed-point scale for centroid sums
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 _BIGRAMS_SQL = (
     "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])"
 )
@@ -378,7 +378,7 @@ def _bpe_oracle() -> str:
     sql = """
     WITH w0 AS (
         SELECT '§§' || regexp_replace(word, '(.)', '\\1§§', 'g') AS w
-        FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                         x -> x <> '')) AS word
               FROM documents)
     )"""

@@ -111,7 +111,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT doc_id, split,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
                    AS ws
         FROM labeled
     ),

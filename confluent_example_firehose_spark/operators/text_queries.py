@@ -20,7 +20,7 @@ STOPWORDS = ("a", "the")
     oracle="""
     SELECT word, count(*) AS n
     FROM (
-        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                   x -> x <> '')) AS word
         FROM documents
     )
@@ -97,7 +97,7 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
     FROM (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS ws
         FROM documents
     )
     WHERE len(ws) > 0
@@ -139,7 +139,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'en_like' ELSE 'other' END AS pred
     FROM (
         SELECT doc_id, lang,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS ws
         FROM documents
     )
     WHERE len(ws) > 0
@@ -172,7 +172,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text) AS fp,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                                 x -> x <> '')) AS BIGINT) AS n_words
     FROM documents
     """,
@@ -195,7 +195,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
         SELECT doc_id, lang, source, md5(text) AS fp,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
                            x -> x <> '') AS ws
         FROM documents
     ),

@@ -251,3 +251,80 @@ def test_corpus_stays_inside_case_mapping_parity(spark, sf_dir):
         ~F.col("text").rlike(r"^[\x00-\x7F]*$")
     ).count()
     assert n_non_ascii == 0
+
+
+# --- r6 cross-engine contracts under randomized inputs -----------------
+
+_ascii_text = st.text(
+    # printable ASCII plus the whitespace the \s+ tokenizer must fold
+    alphabet=st.sampled_from(
+        list("abcXYZ019'\"\\,.!?") + [" ", "\t", "\n", "\r", "\x0b", "\x0c"]
+    ),
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_ascii_text, min_size=1, max_size=8))
+def test_words_tokenizer_matches_duckdb(spark, texts):
+    """The r6 whitespace alignment as a law: the engine's words()
+    (split on Java \\s+, drop empties, lowercase) and the oracle-side
+    regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+')
+    (RE2's \\s EXCLUDES vertical tab — found by this very test, so the
+    oracles spell Spark's exact class) tokenize EVERY ASCII
+    string identically — including tabs, newlines, vertical tabs,
+    form feeds, runs of mixed whitespace, and quote characters."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.operators.dedup import words
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["w"]
+        for r in df.select("i", words("t").alias("w")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            r"SELECT list_filter(regexp_split_to_array(lower(?),"
+            r" '[ \t\n\r\f\v]+'), x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+    con.close()
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("abz0'\"% _\\")), max_size=30,
+), min_size=1, max_size=8))
+def test_portable_hash60_matches_duckdb(spark, texts):
+    """portable_hash60 (the content-addressable dedup key) is the SAME
+    integer in both engines for arbitrary ASCII content — including
+    quotes, percent signs, and backslashes that would break a
+    string-interpolated implementation."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.operators.dedup import (
+        portable_hash60,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", portable_hash60(F.col("t")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+    con.close()
