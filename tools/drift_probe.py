@@ -58,6 +58,10 @@ def build() -> None:
                                 THEN replace(text, ' ', '  ')
                             WHEN doc_id % 13 = 0
                                 THEN replace(text, ' ', chr(10))
+                            WHEN doc_id % 17 = 0
+                                THEN replace(text, ' ', chr(11))
+                            WHEN doc_id % 19 = 0
+                                THEN replace(text, ' ', chr(12) || chr(13))
                             ELSE text END AS text,
                        lang, source, n_chars
                 FROM '{src}'
