@@ -363,17 +363,22 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_text",
     oracle="""
     SELECT count(*) AS n_lines,
-           CAST(sum(length(replace(text, chr(10), ' ')))
+           CAST(sum(length(replace(replace(text, chr(10), ' '),
+                                   chr(13), ' ')))
                 AS BIGINT) AS n_chars,
-           count(DISTINCT md5(replace(text, chr(10), ' '))) AS n_distinct
+           count(DISTINCT md5(replace(replace(text, chr(10), ' '),
+                                      chr(13), ' '))) AS n_distinct
     FROM documents
     """,
 )
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-based text source round trip (log-file ingestion shape):
     documents.text written via the text sink (one line per doc —
-    newlines are flattened to spaces first, on both engines, so the
-    one-doc-one-line contract survives any future corpus) and
+    BOTH \\n and \\r are flattened to spaces first, on both engines,
+    because Hadoop's line reader splits on \\n, \\r, and \\r\\n alike
+    (a lone CR in a document silently multiplied lines — caught by the
+    r6 drift probe), so the one-doc-one-line contract survives any
+    future corpus) and
     re-scanned with spark.read.text. The invariant row counts lines,
     characters, and distinct md5 lines — any splitting, reorder,
     truncation, or encoding drift in the text round trip breaks it.
@@ -383,7 +388,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_tmp("firehose_text_"), "docs_txt")
     d = load_table(spark, sf_dir, "documents")
     d.select(
-        F.regexp_replace("text", "\n", " ").alias("text")
+        F.regexp_replace("text", "[\n\r]", " ").alias("text")
     ).write.mode("overwrite").text(out)
     back = spark.read.text(out)
     return back.agg(
