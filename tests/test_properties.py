@@ -6,6 +6,7 @@ from __future__ import annotations
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from confluent_example_firehose_spark.operators.asof import asof_join_agg
 from confluent_example_firehose_spark.operators.firehose import last_value_table
@@ -328,3 +329,256 @@ def test_portable_hash60_matches_duckdb(spark, texts):
         ).fetchone()[0]
         assert got[i] == want, (t, got[i], want)
     con.close()
+
+
+# --- r6 kernel algebra under randomized inputs -------------------------
+
+_LONG_MAX = (1 << 63) - 1
+_U64 = (1 << 64) - 1
+
+_hash_arr = st.lists(
+    st.integers(-(1 << 63), (1 << 63) - 1), min_size=0, max_size=10
+)
+
+
+@settings(**_SETTINGS)
+@given(a=_hash_arr, b=_hash_arr)
+def test_minhash_union_min_law(spark, a, b):
+    """The law LSH correctness rests on, engine-level (no xxhash64
+    model needed): sig(A ∪ B) == elementwise min(sig(A), sig(B)), and
+    sig is invariant to element order and duplication. Exercises the
+    one-fold aggregate/zip_with/least implementation, including the
+    empty-set LONG_MAX sentinel."""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    shuffled = list(reversed(a)) + a  # reorder + duplicate every element
+    df = spark.createDataFrame(
+        [(a, b, a + b, shuffled)],
+        "a array<long>, b array<long>, u array<long>, s array<long>",
+    )
+    row = df.select(
+        minhash_signature(F.col("a"), 8).alias("sa"),
+        minhash_signature(F.col("b"), 8).alias("sb"),
+        minhash_signature(F.col("u"), 8).alias("su"),
+        minhash_signature(F.col("s"), 8).alias("ss"),
+    ).first()
+    assert row["su"] == [min(x, y) for x, y in zip(row["sa"], row["sb"])]
+    assert row["ss"] == row["sa"]
+    if not a:
+        assert row["sa"] == [_LONG_MAX] * 8
+
+
+def _model_portable_simhash(text: str):
+    """Pure-Python model of the ENTIRE portable fingerprint path:
+    lowercase -> split on \\s+ -> drop empties -> 3-word shingles
+    joined with ' ' -> distinct md5-hash60 -> 64-way majority bit vote
+    (ties -> 0). Returns None when the doc has < 3 words (the
+    keep_empty=False filter)."""
+    import hashlib
+    import re
+
+    ws = [w for w in re.split(r"[ \t\n\r\f\v]+", text.lower()) if w != ""]
+    if len(ws) < 3:
+        return None
+    sh = {
+        int(
+            hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(ws) - 2)
+    }
+    fp = 0
+    for bit in range(64):
+        votes = 2 * sum(1 for h in sh if (h >> bit) & 1) - len(sh)
+        if votes > 0:
+            fp |= 1 << bit
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_ascii_text, min_size=1, max_size=6))
+def test_simhash_portable_fingerprint_matches_model(spark, texts):
+    """End-to-end model test of simhash_fingerprints(portable=True) on
+    arbitrary ASCII text: tokenizer, shingling, md5-hash60, distinct,
+    and the numpy bit-vote UDF all agree with an independent
+    pure-Python reimplementation — the contract that lets the DuckDB
+    oracle (and any future engine) recompute fingerprints exactly."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["_id"]: r["fp"]
+        for r in simhash_fingerprints(
+            df, "doc_id", "text", portable=True
+        ).collect()
+    }
+    want = {
+        i: _model_portable_simhash(t)
+        for i, t in enumerate(texts)
+        if _model_portable_simhash(t) is not None
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(-(1 << 63), (1 << 63) - 1),
+            st.integers(-(1 << 63), (1 << 63) - 1),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hamming64_matches_popcount_model(spark, pairs):
+    """hamming64 == popcount of the 64-bit XOR for arbitrary signed
+    longs, including negatives (two's complement) and the extremes."""
+    from confluent_example_firehose_spark.operators.dedup import hamming64
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a long, b long",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", hamming64(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == bin((a ^ b) & _U64).count("1"), (a, b)
+
+
+@st.composite
+def _fp_corpus(draw):
+    """Fingerprint corpora guaranteed to contain near pairs: a few
+    random 64-bit bases, each with perturbed copies at <= 3 flipped
+    bits."""
+    bases = draw(
+        st.lists(st.integers(0, _U64), min_size=1, max_size=4, unique=True)
+    )
+    fps = list(bases)
+    for base in bases:
+        flips = draw(
+            st.lists(st.integers(0, 63), min_size=0, max_size=3)
+        )
+        p = base
+        for bit in flips:
+            p ^= 1 << bit
+        fps.append(p)
+    # to signed
+    return [f - (1 << 64) if f >= (1 << 63) else f for f in set(fps)]
+
+
+@settings(**_SETTINGS)
+@given(fps=_fp_corpus())
+def test_pigeonhole_recall_and_soundness_property(spark, fps):
+    """The d < n_blocks pigeonhole contract on ARBITRARY fingerprints:
+    every pair at Hamming <= 3 is produced by 4-block candidate
+    generation (recall), and every produced pair shares at least one
+    exact 16-bit block (soundness — the blocking never invents a
+    bucket)."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "_id long, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(df, max_bucket=10_000).collect()
+    }
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin((fps[i] ^ fps[j]) & _U64).count("1")
+            if d <= 3:
+                assert (i, j) in got, (fps[i], fps[j], d)
+    for i, j in got:
+        blocks_i = [((fps[i] & _U64) >> (16 * b)) & 0xFFFF for b in range(4)]
+        blocks_j = [((fps[j] & _U64) >> (16 * b)) & 0xFFFF for b in range(4)]
+        assert any(x == y for x, y in zip(blocks_i, blocks_j)), (i, j)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 14),  # id
+            st.integers(0, 2),  # block
+            st.integers(0, 1),  # secondary
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),  # one row per (id, block)
+    ),
+    cap=st.integers(2, 4),
+)
+def test_bucket_pairs_refined_matches_model(spark, rows, cap):
+    """bucket_pairs_refined's documented semantics as a law: blocks
+    within the cap pair fully; over-cap blocks re-pair within
+    (block, secondary) sub-blocks (sub-blocks still over the cap drop,
+    like bucket_pairs); result is the distinct union."""
+    from collections import defaultdict
+
+    from confluent_example_firehose_spark.operators.dedup import (
+        bucket_pairs_refined,
+    )
+
+    df = spark.createDataFrame(rows, "_id long, blk long, sec long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_pairs_refined(
+            df, ["blk"], "sec", max_bucket=cap
+        ).collect()
+    }
+    by_block = defaultdict(list)
+    for i, blk, sec in rows:
+        by_block[blk].append((i, sec))
+    want = set()
+    for members in by_block.values():
+        groups = (
+            [[i for i, _ in members]]
+            if len(members) <= cap
+            else [
+                [i for i, s in members if s == sec_v]
+                for sec_v in {s for _, s in members}
+            ]
+        )
+        for g in groups:
+            if len(g) > cap:
+                continue
+            g = sorted(g)
+            want.update(
+                (g[x], g[y])
+                for x in range(len(g))
+                for y in range(x + 1, len(g))
+            )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(st.integers(0, 9), max_size=8),
+    b=st.lists(st.integers(0, 9), max_size=8),
+)
+def test_jaccard_matches_set_model(spark, a, b):
+    """jaccard() equals the set-model |A∩B|/|A∪B| on arbitrary
+    distinct-element arrays, with empty-vs-empty pinned to 0.0."""
+    from confluent_example_firehose_spark.operators.dedup import jaccard
+
+    sa, sb = sorted(set(a)), sorted(set(b))
+    df = spark.createDataFrame([(sa, sb)], "a array<long>, b array<long>")
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    union = len(set(sa) | set(sb))
+    want = 0.0 if union == 0 else len(set(sa) & set(sb)) / union
+    assert got == want
