@@ -34,69 +34,68 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     Gopher quality pipeline, adapted to n-grams (the corpus has no line
     structure to measure duplicate lines against).
 
-    Scale shape: term counting is explode -> groupBy(doc_id, term) ->
-    groupBy(doc_id) — two hash aggregations whose keys ((doc, term),
-    then doc) are high-cardinality and uniformly distributed, the
-    canonical map-side-combinable shape. No window functions, no
-    Python; the n-gram construction is transform() over a materialized
-    words array (split runs once per doc — the expression-inlining
-    hazard documented in dedup.py).
+    Scale shape (r6 rewrite — ZERO shuffles): every output is a pure
+    function of one document's words array, so the per-term counting
+    runs ROW-LOCALLY in an Arrow-batched pandas kernel (numpy unique +
+    counts per doc) instead of explode -> groupBy(doc_id, term) ->
+    groupBy(doc_id). The previous shape shuffled the corpus's entire
+    distinct (doc, term) multiset twice per run — map-side-combinable,
+    and trimmed in r5 by recoding terms to xxhash64 longs, but still
+    O(corpus vocabulary) network bytes that a per-document statistic
+    never needed. The kernel replaces both aggregations AND the final
+    join with one narrow map (the deliberate-UDF exception documented
+    at dedup.simhash_fingerprints: vectorized Arrow batches beat
+    interpreted higher-order array folds, and a narrow map keeps the
+    plan shape shuffle-free at any scale). Bigrams join tokens with a
+    single space — tokens cannot contain whitespace, so the encoding
+    is injective and matches the oracle's w[i] || ' ' || w[i+1]
+    verbatim. Output is bit-identical to the aggregation form (counts
+    are integers; the two ratio divisions round at 6 digits on both
+    engines)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    Shuffle-byte trim (VERDICT r4 item 6): the per-term aggregations
-    key on xxhash64 of the term, not the term string — top-mass /
-    distinct / total counts are invariant under any injective-in-
-    practice recoding (64-bit collisions are the documented epsilon),
-    and longs cut the (doc_id, term) shuffle and agg-state bytes by
-    the average term width. The bigram case never materializes the
-    concatenated string at all. The DuckDB oracle keeps the string
-    form, so the hash-equality also witnesses the recoding's
-    harmlessness."""
+    @pandas_udf(
+        "struct<n_words:long,n_distinct:long,top_uni:long,"
+        "top_bi:long,n_bigrams:long>"
+    )
+    # no type annotations: the module's `from __future__ import
+    # annotations` would stringify them and break pandas_udf's
+    # signature inference; the decorator's returnType is authoritative
+    def _doc_stats(ws):
+        out = np.zeros((len(ws), 5), dtype=np.int64)
+        for i, a in enumerate(ws):
+            arr = np.asarray(a)
+            n = len(arr)  # >= 2: the size filter runs before the UDF
+            _, uc = np.unique(arr, return_counts=True)
+            _, bc = np.unique(
+                arr[:-1] + " " + arr[1:], return_counts=True
+            )
+            out[i] = (n, len(uc), uc.max(), bc.max(), n - 1)
+        return pd.DataFrame(
+            out,
+            columns=[
+                "n_words", "n_distinct", "top_uni", "top_bi", "n_bigrams"
+            ],
+        )
+
     staged = docs.select(
         "doc_id", words("text").alias("w")
     ).filter(F.size("w") >= 2)
-    uni = (
-        staged.select(
-            "doc_id",
-            F.explode(
-                F.transform(F.col("w"), lambda t: F.xxhash64(t))
-            ).alias("t"),
-        )
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("c"))
-    )
-    ua = uni.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.max("c").alias("top_uni"),
-        F.count("*").alias("n_distinct"),
-    )
-    w = F.col("w")
-    # total-expression guard (see shingle_strings): generate-inferred
-    # predicates may evaluate grams on rows the size filter excludes
-    _gidx = F.when(
-        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.transform(
-        _gidx,
-        lambda i: F.xxhash64(F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    bg = (
-        staged.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-    )
-    ba = bg.groupBy("doc_id").agg(
-        F.max("c").alias("top_bi"), F.sum("c").alias("n_bigrams")
-    )
+    stats = staged.select(
+        "doc_id", _doc_stats(F.col("w")).alias("s")
+    ).select("doc_id", "s.*")
     top_uni_frac = F.round(
         F.col("top_uni").cast("double") / F.col("n_words"), 6
     )
     top_bi_frac = F.round(
         F.col("top_bi").cast("double") / F.col("n_bigrams"), 6
     )
-    return ua.join(ba, "doc_id").select(
+    return stats.select(
         "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_words"),
+        F.col("n_distinct"),
         F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
         .alias("distinct_ratio"),
         top_uni_frac.alias("top_unigram_frac"),

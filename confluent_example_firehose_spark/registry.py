@@ -76,8 +76,11 @@ _RECHECK: tuple[str, ...] = (
     # q_robust_stats (rank frontier), q_dedup_lines (hashed window
     # key), q_stream_join_outer (watermark oracle), q_graph_trustrank
     # (oracle cleanup), q_stateful_ttl_event if its r6 row is missing,
-    # and q_doc_fingerprint (the one stale r2 row the window couldn't
-    # hold).
+    # q_doc_fingerprint (the one stale r2 row the window couldn't
+    # hold), q_bpe_merges again + q_quality_repetition (late-r6
+    # reshapes: pair-delta census / zero-shuffle row-local kernel —
+    # outputs unchanged, both locally oracle-verified at sf0.01 and
+    # sf0.001, but the driver row should confirm).
 )
 
 def _driver_history() -> dict[str, int]:
