@@ -38,6 +38,11 @@ def test_quality_repetition_no_join_blowup(spark, sf_dir, fns):
     plan = _plan(fns, "q_quality_repetition", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r6 zero-shuffle pin: per-doc stats are row-local — one Arrow
+    # kernel, no Exchange, no join anywhere in the plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_quality_domain_mix_broadcasts_total(spark, sf_dir, fns):
