@@ -122,8 +122,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + groupBy-min (node key) with localCheckpoint lineage truncation —
     identical round shape to connected_components (curation_queries),
     but with a FIXED round count so the oracle can unroll the same
-    ladder exactly. Distances are integers; no float anywhere."""
-    edges = purchase_edges(spark, sf_dir)
+    ladder exactly. Distances are integers; no float anywhere. The
+    edge table is hash-partitioned on src ONCE before the loop (r6):
+    the cached partitioning satisfies every round's join distribution,
+    so only the node-sized frontier shuffles per round — the big side
+    never re-shuffles."""
+    edges = purchase_edges(spark, sf_dir).repartition("src")
     edges = edges.persist()
     try:
         seeds = (
@@ -195,8 +199,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key every round) + groupBy-sum on dst + a left join back onto
     the node universe; deg and ranks are node-sized (≪ edges). Top-K
     is orderBy().limit() = TakeOrderedAndProject, never a global
-    window."""
-    edges = purchase_edges(spark, sf_dir)
+    window. Edges are hash-partitioned on src ONCE before the loop
+    (r6): the cached partitioning satisfies every round's join
+    distribution, so the rank vector — not the edge table — is what
+    shuffles per round (measured 4.25 s -> 3.06 s at sf0.1; at 100 TB
+    this is the difference between shuffling the graph once and
+    PR_ITERS times)."""
+    edges = purchase_edges(spark, sf_dir).repartition("src")
     edges = edges.persist()
     try:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -316,8 +325,9 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + node-keyed min agg with localCheckpoint truncation; the
     weighted edge table derives from the same single orders ⋈ lineitem
     pass (group-by keeps the count instead of distinct-collapsing
-    it)."""
-    edges = weighted_purchase_edges(spark, sf_dir)
+    it). Edges hash-partitioned on src once before the loop (r6, see
+    q_graph_bfs)."""
+    edges = weighted_purchase_edges(spark, sf_dir).repartition("src")
     edges = edges.persist()
     try:
         reached = (
@@ -574,8 +584,9 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_graph_pagerank — one src-keyed shuffle
     per round; the zero-rank filter keeps each round's join input to
     the reached frontier (trust spreads like BFS, so early rounds are
-    small)."""
-    edges = purchase_edges(spark, sf_dir).persist()
+    small). Edges hash-partitioned on src once before the loop (r6,
+    see q_graph_pagerank)."""
+    edges = purchase_edges(spark, sf_dir).repartition("src").persist()
     try:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
         nodes = edges.select("src").distinct().select(

@@ -78,9 +78,11 @@ _RECHECK: tuple[str, ...] = (
     # (oracle cleanup), q_stateful_ttl_event if its r6 row is missing,
     # q_doc_fingerprint (the one stale r2 row the window couldn't
     # hold), q_bpe_merges again + q_quality_repetition (late-r6
-    # reshapes: pair-delta census / zero-shuffle row-local kernel —
-    # outputs unchanged, both locally oracle-verified at sf0.01 and
-    # sf0.001, but the driver row should confirm).
+    # reshapes: pair-delta census / zero-shuffle row-local kernel),
+    # and q_graph_pagerank/bfs/sssp/trustrank (late-r6 edges
+    # pre-partitioning — plan-only). All late-r6 reshapes keep outputs
+    # unchanged and were locally oracle-verified at sf0.01 (text ones
+    # also sf0.001), but the driver row should confirm.
 )
 
 def _driver_history() -> dict[str, int]:
