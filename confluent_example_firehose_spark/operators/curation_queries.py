@@ -52,7 +52,15 @@ def connected_components(
     detected with a one-row aggregate: labels only ever DECREASE, so an
     unchanged sum(comp) is exactly a fixpoint — no row-level diff join
     needed. Rounds needed = graph diameter (near-dup graphs are dense
-    near-cliques; single digits in practice)."""
+    near-cliques; single digits in practice).
+
+    The edge table is hash-partitioned on src and PERSISTED before the
+    loop (r6): a bare `edges` argument carries its whole upstream
+    lineage (candidate generation, verify joins), which every round's
+    join would silently re-execute — and the cached partitioning
+    satisfies each round's join distribution, so only the node-sized
+    label vector shuffles per round."""
+    edges = edges.repartition("src").persist()
     labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
@@ -70,6 +78,7 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+    edges.unpersist()
     if not converged:
         # Falling through with partial propagation would silently return
         # WRONG component labels (r3 ADVICE) — fail loudly instead; the
