@@ -582,3 +582,49 @@ def test_jaccard_matches_set_model(spark, a, b):
     union = len(set(sa) | set(sb))
     want = 0.0 if union == 0 else len(set(sa) & set(sb)) / union
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(1, 9),
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), max_size=14
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, raw_edges):
+    """connected_components (min-label propagation with the r6
+    edge persist/partition) equals a pure-Python union-find with
+    min-id canonical labels on arbitrary small undirected graphs —
+    including self-loops, duplicate edges, isolated nodes, and path
+    graphs near the iteration bound."""
+    from confluent_example_firehose_spark.operators.curation_queries import (
+        connected_components,
+    )
+
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    und = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    if und:
+        edf = spark.createDataFrame(und, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == want, (edges, got, want)
