@@ -58,8 +58,10 @@ def connected_components(
     loop (r6): a bare `edges` argument carries its whole upstream
     lineage (candidate generation, verify joins), which every round's
     join would silently re-execute — and the cached partitioning
-    satisfies each round's join distribution, so only the node-sized
-    label vector shuffles per round."""
+    satisfies each round's join distribution, so the edge table never
+    re-shuffles; per-round traffic is the node-sized label vector plus
+    the dst-keyed propagation messages (edge-bounded, map-side
+    combined)."""
     edges = edges.repartition("src").persist()
     labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)

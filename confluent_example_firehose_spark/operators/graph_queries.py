@@ -125,8 +125,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder exactly. Distances are integers; no float anywhere. The
     edge table is hash-partitioned on src ONCE before the loop (r6):
     the cached partitioning satisfies every round's join distribution,
-    so only the node-sized frontier shuffles per round — the big side
-    never re-shuffles."""
+    so the edge TABLE never re-shuffles; what moves per round is the
+    node-sized frontier plus the dst-keyed message stream out of the
+    join — bounded by edges incident to the frontier and cut down by
+    the groupBy-min's map-side partial aggregation (the irreducible
+    Pregel message cost, confirmed byte-level by the session-delta
+    audit in SCALE.md)."""
     edges = purchase_edges(spark, sf_dir).repartition("src")
     edges = edges.persist()
     try:
@@ -201,10 +205,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is orderBy().limit() = TakeOrderedAndProject, never a global
     window. Edges are hash-partitioned on src ONCE before the loop
     (r6): the cached partitioning satisfies every round's join
-    distribution, so the rank vector — not the edge table — is what
-    shuffles per round (measured 4.25 s -> 3.06 s at sf0.1; at 100 TB
-    this is the difference between shuffling the graph once and
-    PR_ITERS times)."""
+    distribution, so the edge TABLE shuffles once, not PR_ITERS times
+    (measured 4.25 s -> 3.06 s at sf0.1). Per-round traffic that
+    remains is the node-sized rank vector plus the dst-keyed
+    contribution messages out of the join — edge-bounded, cut down by
+    the groupBy-sum's map-side partial aggregation (the irreducible
+    Pregel message cost; byte-level numbers in SCALE.md's
+    session-delta audit)."""
     edges = purchase_edges(spark, sf_dir).repartition("src")
     edges = edges.persist()
     try:

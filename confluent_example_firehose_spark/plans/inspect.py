@@ -113,3 +113,46 @@ def execution_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def session_shuffle_totals(spark) -> dict[str, int]:
+    """Cumulative shuffle-write bytes/records and spill across EVERY
+    stage the session has run, read from the AppStatusStore (the
+    store behind the Spark UI's stage table).
+
+    Complements execution_metrics, which walks one frame's FINAL
+    executed plan: iterative operators (connected components, the
+    graph fixed-point loops) do their shuffling in construction-time
+    jobs against eagerly-checkpointed intermediates, which the final
+    plan — a scan over the last checkpoint — never shows. Diffing
+    these totals around a query captures every round's traffic:
+
+        before = session_shuffle_totals(spark)
+        fn(spark, sf_dir).count()
+        after = session_shuffle_totals(spark)   # subtract per key
+
+    Local-mode caveat: the store is per-SparkContext, so deltas from
+    a shared session include any concurrent queries' stages."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    # full 5-arg signature (statuses, details, withSummaries,
+    # unsortedQuantiles, taskStatus) — py4j can't fill Scala defaults
+    seq = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    sb = sr = sp = 0
+    for i in range(seq.size()):
+        s = seq.apply(i)
+        sb += s.shuffleWriteBytes()
+        sr += s.shuffleWriteRecords()
+        sp += s.diskBytesSpilled() + s.memoryBytesSpilled()
+    return {
+        "shuffle_bytes": sb,
+        "shuffle_records": sr,
+        "spill_bytes": sp,
+    }

@@ -203,3 +203,29 @@ def test_arrow_udf_uses_arrow_eval_path(spark, sf_dir, fns):
     plan = _plan(fns, "q_arrow_udf", spark, sf_dir)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # not the pickled-row path
+
+
+def test_session_shuffle_totals_delta(spark, sf_dir):
+    """session_shuffle_totals must report monotone cumulative stage
+    totals whose delta around a shuffling action is nonzero — the
+    contract the --session-delta audit (and iterative-operator
+    accounting) rests on."""
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.plans.inspect import (
+        session_shuffle_totals,
+    )
+    from pyspark.sql import functions as F
+
+    before = session_shuffle_totals(spark)
+    assert set(before) == {"shuffle_bytes", "shuffle_records", "spill_bytes"}
+    (
+        load_table(spark, sf_dir, "events")
+        .repartition("event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    after = session_shuffle_totals(spark)
+    assert after["shuffle_bytes"] > before["shuffle_bytes"]
+    assert after["shuffle_records"] > before["shuffle_records"]
+    assert after["spill_bytes"] >= before["spill_bytes"]

@@ -20,7 +20,14 @@ aggregates/candidates survives the scale-up. Results are pasted into
 SCALE.md's audit table.
 
 Usage: python tools/shuffle_audit.py [sf_dir] [query ...]
-"""
+
+With --session-delta, measures by diffing the AppStatusStore's
+cumulative stage totals (plans.inspect.session_shuffle_totals) around
+each query instead of walking its final plan: iterative operators
+shuffle in construction-time jobs against eager checkpoints that the
+final plan never shows, and the delta mode charges them those rounds.
+Run it on an otherwise-idle session — deltas include every stage the
+context runs."""
 
 from __future__ import annotations
 
@@ -65,7 +72,8 @@ def audit(df) -> dict[str, float]:
 
 
 def main() -> None:
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--session-delta"]
+    session_delta = "--session-delta" in sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     only = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -77,6 +85,30 @@ def main() -> None:
 
     spark = get_spark("shuffle-audit")
     fns = query_fns()
+    if session_delta:
+        import time
+
+        from confluent_example_firehose_spark.plans.inspect import (
+            session_shuffle_totals,
+        )
+
+        print("| query | shuffle MiB | shuffle rows | spill MiB | out rows | sec |")
+        print("|---|---|---|---|---|---|")
+        for name in names:
+            before = session_shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = fns[name](spark, sf_dir).count()
+            secs = time.time() - t0
+            after = session_shuffle_totals(spark)
+            mb = (after["shuffle_bytes"] - before["shuffle_bytes"]) / 2**20
+            rows = after["shuffle_records"] - before["shuffle_records"]
+            sp = (after["spill_bytes"] - before["spill_bytes"]) / 2**20
+            print(
+                f"| {name} | {mb:.2f} | {rows} | {sp:.2f} "
+                f"| {out_rows} | {secs:.2f} |",
+                flush=True,
+            )
+        return
     print("| query | exchanges | shuffle MiB | shuffle rows | spill MiB | out rows |")
     print("|---|---|---|---|---|---|")
     for name in names:
