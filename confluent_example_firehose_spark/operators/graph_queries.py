@@ -147,9 +147,21 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         reached = seeds.localCheckpoint(eager=True)
-        for _ in range(BFS_HOPS):
+        frontier = reached
+        for hop in range(BFS_HOPS):
+            # Frontier-only messaging (late r6): a node first reached at
+            # hop h sends its one useful message at hop h+1 — messages
+            # from older nodes can never beat the minima already
+            # recorded, so joining edges against the full reached set
+            # re-sends every round for nothing. With unit hops the
+            # frontier is exactly dist == hop: a filter on the
+            # checkpointed node vector, no diff join. Per-round message
+            # volume drops from |edges ⋈ reached| to |edges ⋈ frontier|
+            # — on a 100 TB graph the difference between a BFS whose
+            # round cost tracks the expanding wave and one that re-walks
+            # the whole reached region every hop.
             msgs = edges.join(
-                reached.withColumnRenamed("node", "src"), "src"
+                frontier.withColumnRenamed("node", "src"), "src"
             ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             reached = (
                 reached.unionByName(msgs)
@@ -157,6 +169,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("dist").alias("dist"))
             )
             reached = reached.localCheckpoint(eager=True)
+            frontier = reached.filter(F.col("dist") == hop + 1)
     finally:
         edges.unpersist()
     return reached
