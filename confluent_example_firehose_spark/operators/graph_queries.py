@@ -363,19 +363,39 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        frontier = reached
         for _ in range(SSSP_ROUNDS):
+            # Changed-set messaging (late r6): only nodes whose cost
+            # improved last round can make a neighbor cheaper this
+            # round — a node that settled at round j sent its offers at
+            # j+1, so re-offering from the whole reached set every
+            # round is pure redundancy. The frontier needs a node-sized
+            # left join (new vs old cost) instead of BFS's dist filter
+            # because relaxation can LOWER an already-reached node's
+            # cost; round-k results are provably identical to
+            # full-messaging (both equal min over <=k-edge paths).
             msgs = edges.join(
-                reached.withColumnRenamed("node", "src"), "src"
+                frontier.withColumnRenamed("node", "src"), "src"
             ).select(
                 F.col("dst").alias("node"),
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
-            reached = (
+            new_reached = (
                 reached.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
                 .localCheckpoint(eager=True)
             )
+            frontier = (
+                new_reached.alias("n")
+                .join(reached.alias("o"), "node", "left_outer")
+                .filter(
+                    F.col("o.cost").isNull()
+                    | (F.col("n.cost") < F.col("o.cost"))
+                )
+                .select("node", F.col("n.cost").alias("cost"))
+            )
+            reached = new_reached
     finally:
         edges.unpersist()
     return reached
