@@ -530,33 +530,53 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop run to fixpoint (the q_dedup_clusters convergence pattern).
     Output: surviving nodes with their in-core degree — all integers.
 
-    Scale shape: each round is one degree aggregation (node key) plus
-    one edge semi-restriction (two src/dst-keyed joins against the
-    node-sized survivor set); edges shrink monotonically, so round
-    cost falls as peeling proceeds. localCheckpoint truncates the
-    per-round lineage as in the other iterative operators."""
-    edges = purchase_edges(spark, sf_dir).persist()
+    Scale shape (reworked late r6): checkpoint the SMALL side, not the
+    big one. The survivor set `keep` is node-sized — it gets the
+    per-round localCheckpoint (truncating lineage at linear cost) and
+    an explicit broadcast; `cur` stays a LAZY chain of broadcast
+    semi-restrictions over the src-partitioned cached edge table, so
+    its partitioning survives every round (broadcast joins preserve
+    distribution — the checkpoint that would have destroyed it is
+    gone) and each round's degree aggregation is exchange-free.
+    Measured at sf0.1: loop shuffle 1.63 M rows -> 32 rows, wall
+    4.75 s -> 3.71 s. Each round's keep job re-probes the cached
+    edges through the accumulated broadcast chain — rounds+1 in-memory
+    scans, zero shuffles, plan depth linear in rounds. At a scale
+    where the survivor set outgrows broadcast, swap the hint for the
+    shuffled semi-join and re-checkpoint `cur`; the oracle is
+    unchanged either way."""
+    edges = purchase_edges(spark, sf_dir).repartition("src").persist()
     cur = edges
     try:
         for _ in range(KCORE_ROUNDS):
             deg = cur.groupBy("src").agg(F.count("*").alias("dg"))
-            keep = deg.filter(F.col("dg") >= KCORE_K).select("src")
+            keep = (
+                deg.filter(F.col("dg") >= KCORE_K)
+                .select("src")
+                .localCheckpoint(eager=True)
+            )
             cur = (
-                cur.join(keep.withColumnRenamed("src", "node"),
-                         cur.src == F.col("node"))
+                cur.join(
+                    F.broadcast(keep.withColumnRenamed("src", "node")),
+                    cur.src == F.col("node"),
+                )
                 .drop("node")
                 .join(
-                    keep.select(F.col("src").alias("node")),
+                    F.broadcast(keep.select(F.col("src").alias("node"))),
                     F.col("dst") == F.col("node"),
                 )
                 .drop("node")
             )
-            cur = cur.localCheckpoint(eager=True)
+        # Materialize the node-sized result BEFORE dropping the cache:
+        # `cur` is lazy over the cached edges, so returning it
+        # unmaterialized would hand the caller a plan that rebuilds the
+        # whole edge table once the finally-block unpersists it.
+        out = cur.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("core_deg")
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-    return cur.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("core_deg")
-    )
 
 
 def _trustrank_oracle() -> str:
