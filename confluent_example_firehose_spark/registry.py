@@ -79,8 +79,9 @@ _RECHECK: tuple[str, ...] = (
     # q_doc_fingerprint (the one stale r2 row the window couldn't
     # hold), q_bpe_merges again + q_quality_repetition (late-r6
     # reshapes: pair-delta census / zero-shuffle row-local kernel),
-    # q_graph_pagerank/bfs/sssp/trustrank (late-r6 edges
-    # pre-partitioning — plan-only), and q_dedup_clusters +
+    # q_graph_pagerank/bfs/sssp/trustrank/kcore (late-r6 edges
+    # pre-partitioning, frontier messaging, and the k-core small-side
+    # checkpoint — all plan-only), and q_dedup_clusters +
     # q_dedup_canonical (late-r6 connected_components edge
     # persist/partition — plan-only). All late-r6 reshapes keep outputs
     # unchanged and were locally oracle-verified at sf0.01 (text ones

@@ -146,3 +146,57 @@ def test_weighted_edges_cost_formula(spark, sf_dir):
     row = e.select(F.min("w").alias("lo"), F.max("w").alias("hi")).first()
     # w = 1 + 1000 div cnt with cnt >= 1 -> w in (1, 1001]
     assert 1 < row["lo"] <= row["hi"] <= 1001
+
+
+def test_kcore_loop_shape_is_broadcast_and_shuffle_free(spark):
+    """The k-core peel's 100 TB property (late r6): per-round state
+    crossing rounds is the NODE-sized survivor list, and the loop adds
+    (near) zero shuffle traffic on top of the one-time edge
+    partitioning — the degree aggs reuse the cached partitioning and
+    the semi-restrictions broadcast. Pinned by diffing
+    session_shuffle_totals around the loop on a synthetic clique+tail
+    graph: the old cur-checkpoint shape shuffled ~3 rounds x 3
+    edge-sized exchanges here; the reworked one stays under a small
+    constant."""
+    import pyspark.sql.functions as F
+
+    from confluent_example_firehose_spark.plans.inspect import (
+        session_shuffle_totals,
+    )
+
+    # 40-clique (survives k=8 peeling) + 200-node path tail (peels off)
+    clique = [(a, b) for a in range(40) for b in range(40) if a != b]
+    tail = [(100 + i, 101 + i) for i in range(200)]
+    tail += [(b, a) for a, b in tail]
+    e = spark.createDataFrame(clique + tail, ["src", "dst"])
+    edges = e.repartition("src").persist()
+    edges.count()
+    before = session_shuffle_totals(spark)
+    cur = edges
+    for _ in range(3):
+        deg = cur.groupBy("src").agg(F.count("*").alias("dg"))
+        keep = (
+            deg.filter(F.col("dg") >= 8)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(
+                F.broadcast(keep.withColumnRenamed("src", "node")),
+                cur.src == F.col("node"),
+            )
+            .drop("node")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("node"))),
+                F.col("dst") == F.col("node"),
+            )
+            .drop("node")
+        )
+    out = cur.groupBy("src").count()
+    assert out.count() == 40  # the clique survives, the tail peels
+    delta = session_shuffle_totals(spark)
+    moved = delta["shuffle_records"] - before["shuffle_records"]
+    # old shape moved thousands of rows here; allow slack for AQE's
+    # bookkeeping but pin the order of magnitude
+    assert moved < 500, f"k-core loop shuffled {moved} rows"
+    edges.unpersist()
