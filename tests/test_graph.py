@@ -200,3 +200,59 @@ def test_kcore_loop_shape_is_broadcast_and_shuffle_free(spark):
     # bookkeeping but pin the order of magnitude
     assert moved < 500, f"k-core loop shuffled {moved} rows"
     edges.unpersist()
+
+
+def test_pagerank_loop_shuffles_messages_not_edges(spark):
+    """The r6 edge pre-partitioning contract: with the edge table
+    repartition("src").persist()-ed once, the rank-propagation loop's
+    per-round shuffle is the node-sized vector plus map-side-combined
+    messages — NOT the edge table again. On a 100-node/9900-edge
+    synthetic clique, three rounds of the q_graph_pagerank join shape
+    must move far fewer rows than one edge-table re-shuffle per round
+    would (~30k)."""
+    import pyspark.sql.functions as F
+
+    from confluent_example_firehose_spark.plans.inspect import (
+        session_shuffle_totals,
+    )
+
+    n = 100
+    e = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n) if a != b],
+        ["src", "dst"],
+    )
+    edges = e.repartition("src").persist()
+    edges.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select("src").distinct().select(
+        F.col("src").alias("node")
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank"))
+    before = session_shuffle_totals(spark)
+    for _ in range(3):
+        contrib = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(150000) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
+    assert ranks.count() == n
+    moved = (
+        session_shuffle_totals(spark)["shuffle_records"]
+        - before["shuffle_records"]
+    )
+    # 3 rounds x (node vector + combined messages) stays in the low
+    # thousands; an edge re-shuffle per round would exceed 29k alone
+    assert moved < 10000, f"pagerank loop shuffled {moved} rows"
+    edges.unpersist()
