@@ -95,9 +95,15 @@ def main() -> None:
         print("| query | shuffle MiB | shuffle rows | spill MiB | out rows | sec |")
         print("|---|---|---|---|---|---|")
         for name in names:
+            if name == "q_flagship":
+                from confluent_example_firehose_spark.flagship import flagship
+
+                fn = lambda s, d: flagship(s, d)  # noqa: E731
+            else:
+                fn = fns[name]
             before = session_shuffle_totals(spark)
             t0 = time.time()
-            out_rows = fns[name](spark, sf_dir).count()
+            out_rows = fn(spark, sf_dir).count()
             secs = time.time() - t0
             after = session_shuffle_totals(spark)
             mb = (after["shuffle_bytes"] - before["shuffle_bytes"]) / 2**20
