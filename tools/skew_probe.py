@@ -6,6 +6,9 @@ mega-customers) that uniform TPC-H-ish generators never produce:
 - orders: every even o_orderkey is remapped to ONE hot customer (the
   table's min o_custkey), concentrating ~50% of all purchase edges on
   a single src key;
+- events: every even event_id is remapped to ONE hot user, so the
+  per-user windows/sessions/funnels walk a single giant key — the
+  shape a viral user gives a 100 TB event log;
 - every other table is symlinked unchanged.
 
 This stresses exactly the paths the scale story leans on: the graph
@@ -38,10 +41,15 @@ TABLES = [
 ]
 
 DEFAULT = [
+    # orders consumers (hot customer / graph super-node)
     "q_graph_bfs", "q_graph_pagerank", "q_graph_sssp",
     "q_graph_trustrank", "q_graph_kcore", "q_graph_triangles",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_join_inner", "q_join_salted", "q_yoy_growth",
+    # events consumers (hot user / giant session key)
+    "q_window_session", "q_window_sliding", "q_last_value",
+    "q_window_rank", "q_funnel", "q_cohort_retention",
+    "q_ts_resample", "q_ts_rate", "q_window_tumbling",
 ]
 
 
@@ -60,6 +68,16 @@ def build() -> None:
                        CASE WHEN o_orderkey % 2 = 0
                             THEN (SELECT min(o_custkey) FROM '{src}')
                             ELSE o_custkey END AS o_custkey
+                FROM '{src}'
+            ) TO '{dst}' (FORMAT PARQUET)
+            """)
+        elif t == "events":
+            con.execute(f"""
+            COPY (
+                SELECT * EXCLUDE (user_id),
+                       CASE WHEN event_id % 2 = 0
+                            THEN (SELECT min(user_id) FROM '{src}')
+                            ELSE user_id END AS user_id
                 FROM '{src}'
             ) TO '{dst}' (FORMAT PARQUET)
             """)
