@@ -111,36 +111,33 @@ def _bfs_oracle() -> str:
     return sql + f"\n    SELECT node, dist FROM {prev}"
 
 
-@register("q_graph_bfs", oracle=_bfs_oracle())
-def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source BFS: minimum hop distance from the seed-customer
-    set (custkey % {BFS_SEED_MOD} == 0) to every node reachable within
-    {BFS_HOPS} hops of the purchase graph — the trusted-seed distance
-    feature of link-graph quality scoring.
+def bfs_distances(edges: DataFrame, seed_pred, hops: int) -> DataFrame:
+    """Multi-source BFS kernel over an edge frame (src, dst): minimum
+    hop distance from the seed set (distinct src values satisfying
+    seed_pred, at dist 0) to every node reachable within `hops` hops.
+    Returns (node, dist) — materialized, safe after the internal cache
+    is dropped. Extracted from q_graph_bfs so the loop is directly
+    property-testable against a pure-Python BFS model on arbitrary
+    graphs (tests/test_properties.py).
 
-    Scale shape: {BFS_HOPS} fixed rounds of frontier ⋈ edges (src key)
-    + groupBy-min (node key) with localCheckpoint lineage truncation —
-    identical round shape to connected_components (curation_queries),
-    but with a FIXED round count so the oracle can unroll the same
-    ladder exactly. Distances are integers; no float anywhere. The
-    edge table is hash-partitioned on src ONCE before the loop (r6):
-    the cached partitioning satisfies every round's join distribution,
-    so the edge TABLE never re-shuffles; what moves per round is the
+    Scale shape: `hops` fixed rounds of frontier ⋈ edges (src key)
+    + groupBy-min (node key) with localCheckpoint lineage truncation.
+    Distances are integers; no float anywhere. The edge table is
+    hash-partitioned on src ONCE before the loop (r6): the cached
+    partitioning satisfies every round's join distribution, so the
+    edge TABLE never re-shuffles; what moves per round is the
     node-sized frontier plus the dst-keyed message stream out of the
     join — bounded by edges incident to the frontier and cut down by
     the groupBy-min's map-side partial aggregation (the irreducible
     Pregel message cost, confirmed byte-level by the session-delta
     audit in SCALE.md)."""
-    edges = purchase_edges(spark, sf_dir).repartition("src")
+    edges = edges.repartition("src")
     edges = edges.persist()
     try:
         seeds = (
             edges.select("src")
             .distinct()
-            .filter(
-                (F.col("src") % 2 == 0)
-                & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0)
-            )
+            .filter(seed_pred)
             .select(
                 F.col("src").alias("node"),
                 F.lit(0).cast("long").alias("dist"),
@@ -148,7 +145,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reached = seeds.localCheckpoint(eager=True)
         frontier = reached
-        for hop in range(BFS_HOPS):
+        for hop in range(hops):
             # Frontier-only messaging (late r6): a node first reached at
             # hop h sends its one useful message at hop h+1 — messages
             # from older nodes can never beat the minima already
@@ -173,6 +170,22 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return reached
+
+
+@register("q_graph_bfs", oracle=_bfs_oracle())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from the seed-customer
+    set (custkey % {BFS_SEED_MOD} == 0) to every node reachable within
+    {BFS_HOPS} hops of the purchase graph — the trusted-seed distance
+    feature of link-graph quality scoring. Loop kernel + scale notes:
+    bfs_distances above; fixed round count so the oracle can unroll
+    the identical ladder."""
+    return bfs_distances(
+        purchase_edges(spark, sf_dir),
+        (F.col("src") % 2 == 0)
+        & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0),
+        BFS_HOPS,
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -225,7 +238,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy-sum's map-side partial aggregation (the irreducible
     Pregel message cost; byte-level numbers in SCALE.md's
     session-delta audit)."""
-    edges = purchase_edges(spark, sf_dir).repartition("src")
+    return pagerank_ranks(
+        purchase_edges(spark, sf_dir), PR_ITERS, PR_TOPK
+    )
+
+
+def pagerank_ranks(edges: DataFrame, iters: int, topk: int) -> DataFrame:
+    """Fixed-point integer PageRank kernel over an edge frame
+    (src, dst): `iters` damped rounds at scale PR_SCALE, top `topk`
+    (node, rank) by (rank desc, node asc). Extracted from
+    q_graph_pagerank (scale notes there) for the pure-Python
+    integer-arithmetic model law in tests/test_properties.py."""
+    edges = edges.repartition("src")
     edges = edges.persist()
     try:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -237,7 +261,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.select(
             "node", F.lit(PR_SCALE).cast("long").alias("rank")
         )
-        for _ in range(PR_ITERS):
+        for _ in range(iters):
             contrib = (
                 ranks.withColumnRenamed("node", "src")
                 .join(deg, "src")
@@ -258,7 +282,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-    return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOPK)
+    return ranks.orderBy(F.desc("rank"), "node").limit(topk)
 
 
 SSSP_ROUNDS = 4  # fixed relaxation rounds (min cost within 4 hops)
@@ -346,17 +370,29 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted edge table derives from the same single orders ⋈ lineitem
     pass (group-by keeps the count instead of distinct-collapsing
     it). Edges hash-partitioned on src once before the loop (r6, see
-    q_graph_bfs)."""
-    edges = weighted_purchase_edges(spark, sf_dir).repartition("src")
+    bfs_distances). Loop kernel: sssp_distances below."""
+    return sssp_distances(
+        weighted_purchase_edges(spark, sf_dir),
+        (F.col("src") % 2 == 0)
+        & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0),
+        SSSP_ROUNDS,
+    )
+
+
+def sssp_distances(edges: DataFrame, seed_pred, rounds: int) -> DataFrame:
+    """Bounded Bellman-Ford kernel over a weighted edge frame
+    (src, dst, w): minimum total cost from the seed set (distinct src
+    values satisfying seed_pred, at cost 0) within `rounds` relaxation
+    rounds. Returns (node, cost) — materialized. Extracted from
+    q_graph_sssp for the pure-Python model law in
+    tests/test_properties.py; scale notes in q_graph_sssp/bfs_distances."""
+    edges = edges.repartition("src")
     edges = edges.persist()
     try:
         reached = (
             edges.select("src")
             .distinct()
-            .filter(
-                (F.col("src") % 2 == 0)
-                & ((F.col("src") / 2).cast("long") % BFS_SEED_MOD == 0)
-            )
+            .filter(seed_pred)
             .select(
                 F.col("src").alias("node"),
                 F.lit(0).cast("long").alias("cost"),
@@ -364,7 +400,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         frontier = reached
-        for _ in range(SSSP_ROUNDS):
+        for _ in range(rounds):
             # Changed-set messaging (late r6): only nodes whose cost
             # improved last round can make a neighbor cheaper this
             # round — a node that settled at round j sent its offers at
@@ -544,14 +580,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, zero shuffles, plan depth linear in rounds. At a scale
     where the survivor set outgrows broadcast, swap the hint for the
     shuffled semi-join and re-checkpoint `cur`; the oracle is
-    unchanged either way."""
-    edges = purchase_edges(spark, sf_dir).repartition("src").persist()
+    unchanged either way. Loop kernel: kcore_survivors below."""
+    return kcore_survivors(
+        purchase_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS
+    )
+
+
+def kcore_survivors(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peel kernel over an edge frame (src, dst):
+    `rounds` rounds of drop-degree-below-k, returning surviving
+    (node, core_deg). Extracted from q_graph_kcore (scale notes there)
+    for the pure-Python model law in tests/test_properties.py."""
+    edges = edges.repartition("src").persist()
     cur = edges
     try:
-        for _ in range(KCORE_ROUNDS):
+        for _ in range(rounds):
             deg = cur.groupBy("src").agg(F.count("*").alias("dg"))
             keep = (
-                deg.filter(F.col("dg") >= KCORE_K)
+                deg.filter(F.col("dg") >= k)
                 .select("src")
                 .localCheckpoint(eager=True)
             )
@@ -645,16 +691,32 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round; the zero-rank filter keeps each round's join input to
     the reached frontier (trust spreads like BFS, so early rounds are
     small). Edges hash-partitioned on src once before the loop (r6,
-    see q_graph_pagerank)."""
-    edges = purchase_edges(spark, sf_dir).repartition("src").persist()
+    see q_graph_pagerank). Loop kernel: trustrank_ranks below."""
+    return trustrank_ranks(
+        purchase_edges(spark, sf_dir),
+        (F.col("node") % 2 == 0)
+        & ((F.col("node") / 2).cast("long") % BFS_SEED_MOD == 0),
+        PR_ITERS,
+        PR_TOPK,
+    )
+
+
+def trustrank_ranks(
+    edges: DataFrame, seed_pred, iters: int, topk: int
+) -> DataFrame:
+    """Seed-personalized fixed-point integer PageRank kernel over an
+    edge frame (src, dst): trust teleports only to the seed set
+    (distinct src nodes satisfying seed_pred over column `node`);
+    `iters` rounds; positive-rank top `topk` by (rank desc, node asc).
+    Extracted from q_graph_trustrank (semantics + scale notes there)
+    for the pure-Python model law in tests/test_properties.py."""
+    edges = edges.repartition("src").persist()
     try:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
         nodes = edges.select("src").distinct().select(
             F.col("src").alias("node")
         ).localCheckpoint(eager=True)
-        is_seed = (F.col("node") % 2 == 0) & (
-            (F.col("node") / 2).cast("long") % BFS_SEED_MOD == 0
-        )
+        is_seed = seed_pred
         base_total = 15 * PR_SCALE // 100
         ranks = nodes.select(
             "node",
@@ -663,7 +725,7 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rank"),
         )
-        for _ in range(PR_ITERS):
+        for _ in range(iters):
             contrib = (
                 ranks.filter(F.col("rank") > 0)
                 .withColumnRenamed("node", "src")
@@ -691,5 +753,5 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.filter(F.col("rank") > 0)
         .orderBy(F.desc("rank"), "node")
-        .limit(PR_TOPK)
+        .limit(topk)
     )

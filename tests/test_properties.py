@@ -628,3 +628,229 @@ def test_connected_components_matches_union_find(spark, n, raw_edges):
         for r in connected_components(nodes, edf).collect()
     }
     assert got == want, (edges, got, want)
+
+
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _edges_df(spark, rows, schema):
+    if rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame([], schema)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    raw_edges=_graph_edges,
+    seed_mod=st.integers(1, 4),
+    hops=st.integers(1, 3),
+)
+def test_bfs_distances_matches_model(spark, raw_edges, seed_mod, hops):
+    """bfs_distances (frontier-only messaging + per-round checkpoint,
+    the late-r6 reshape) equals a pure-Python multi-source BFS bounded
+    at `hops` on arbitrary small directed graphs — including empty
+    graphs, empty seed sets, self-loops, and duplicate edges. Seeds
+    are the kernel's contract: distinct SRC nodes satisfying the
+    predicate (a dst-only node can receive a distance but never
+    seeds)."""
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        bfs_distances,
+    )
+
+    seeds = {a for a, _ in raw_edges if a % seed_mod == 0}
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(hops):
+        nxt = set()
+        for a, b in raw_edges:
+            if a in frontier and b not in dist:
+                dist[b] = hop + 1
+                nxt.add(b)
+        frontier = nxt
+    want = dist
+
+    edf = _edges_df(spark, raw_edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edf, F.col("src") % seed_mod == 0, hops
+        ).collect()
+    }
+    assert got == want, (raw_edges, seed_mod, hops, got, want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    raw_edges=st.lists(
+        st.tuples(
+            st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    seed_mod=st.integers(1, 4),
+    rounds=st.integers(1, 3),
+)
+def test_sssp_distances_matches_model(spark, raw_edges, seed_mod, rounds):
+    """sssp_distances (changed-cost frontier messaging, the late-r6
+    reshape) equals the textbook bounded Bellman-Ford recurrence —
+    min cost over paths of <= `rounds` edges from any seed — on
+    arbitrary small weighted digraphs. This is exactly the
+    'frontier-only equals full messaging' equivalence the reshape's
+    comment claims, checked mechanically (duplicate edges with
+    different weights, self-loops, cost-lowering re-relaxations)."""
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        sssp_distances,
+    )
+
+    seeds = {a for a, _, _ in raw_edges if a % seed_mod == 0}
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        prev = dict(dist)
+        for a, b, w in raw_edges:
+            if a in prev:
+                c = prev[a] + w
+                if b not in dist or c < dist[b]:
+                    dist[b] = c
+    want = dist
+
+    edf = _edges_df(spark, raw_edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["cost"]
+        for r in sssp_distances(
+            edf, F.col("src") % seed_mod == 0, rounds
+        ).collect()
+    }
+    assert got == want, (raw_edges, seed_mod, rounds, got, want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    raw_edges=_graph_edges,
+    k=st.integers(1, 3),
+    rounds=st.integers(1, 3),
+)
+def test_kcore_survivors_matches_model(spark, raw_edges, k, rounds):
+    """kcore_survivors (small-side checkpoint + broadcast restriction
+    chain, the late-r6 reshape) equals a pure-Python peel: per round,
+    keep = nodes with src-degree >= k, then restrict edges to
+    keep x keep; output = surviving per-src edge counts. Duplicate
+    edges count twice (the kernel's count(*) contract), dst-only
+    nodes have degree 0 and peel out immediately."""
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        kcore_survivors,
+    )
+
+    cur = list(raw_edges)
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = [(a, b) for a, b in cur if a in keep and b in keep]
+    want = {}
+    for a, _b in cur:
+        want[a] = want.get(a, 0) + 1
+
+    edf = _edges_df(spark, raw_edges, "src long, dst long")
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore_survivors(edf, k, rounds).collect()
+    }
+    assert got == want, (raw_edges, k, rounds, got, want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(raw_edges=_graph_edges, iters=st.integers(1, 3))
+def test_pagerank_ranks_matches_integer_model(spark, raw_edges, iters):
+    """pagerank_ranks (fixed-point integer damped rank, edges
+    pre-partitioned once — the late-r6 plan reshape) equals a
+    pure-Python integer model on arbitrary small digraphs: per round,
+    contrib(b) = sum over edges (a,b) of (rank(a)*85) // (100*deg(a)),
+    new rank = base + contrib, node universe = distinct src only (a
+    dst-only node receives no rank row), duplicate edges contribute
+    twice. Integer // is exact on non-negatives in both engines, so
+    the model is bit-exact, not approximate."""
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    nodes = {a for a, _ in raw_edges}
+    deg = {}
+    for a, _b in raw_edges:
+        deg[a] = deg.get(a, 0) + 1
+    base = 15 * PR_SCALE // 100
+    rank = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in raw_edges:
+            c = (rank[a] * 85) // (100 * deg[a])
+            contrib[b] = contrib.get(b, 0) + c
+        rank = {n: base + contrib.get(n, 0) for n in nodes}
+    want = rank
+
+    edf = _edges_df(spark, raw_edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_ranks(edf, iters, 1000).collect()
+    }
+    assert got == want, (raw_edges, iters, got, want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    raw_edges=_graph_edges,
+    seed_mod=st.integers(1, 4),
+    iters=st.integers(1, 3),
+)
+def test_trustrank_ranks_matches_integer_model(
+    spark, raw_edges, seed_mod, iters
+):
+    """trustrank_ranks (seed-personalized teleport + zero-rank
+    frontier filter) equals the same integer model with trust starting
+    and re-seeding ONLY at seed nodes; non-seeded unreached nodes stay
+    exactly 0 and are filtered from the output. The zero-rank filter
+    is the claim under test: skipping rank-0 senders must not change
+    any receiver's sum (0-rank contributions are 0 only because
+    integer // truncates toward zero — pinned here)."""
+    from confluent_example_firehose_spark.operators.graph_queries import (
+        PR_SCALE,
+        trustrank_ranks,
+    )
+
+    nodes = {a for a, _ in raw_edges}
+    seeds = {n for n in nodes if n % seed_mod == 0}
+    deg = {}
+    for a, _b in raw_edges:
+        deg[a] = deg.get(a, 0) + 1
+    base = 15 * PR_SCALE // 100
+    rank = {n: (PR_SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in raw_edges:
+            c = (rank[a] * 85) // (100 * deg[a])
+            contrib[b] = contrib.get(b, 0) + c
+        rank = {
+            n: (base if n in seeds else 0) + contrib.get(n, 0)
+            for n in nodes
+        }
+    want = {n: r for n, r in rank.items() if r > 0}
+
+    edf = _edges_df(spark, raw_edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in trustrank_ranks(
+            edf, F.col("node") % seed_mod == 0, iters, 1000
+        ).collect()
+    }
+    assert got == want, (raw_edges, seed_mod, iters, got, want)
