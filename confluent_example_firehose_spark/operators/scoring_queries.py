@@ -454,7 +454,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("§§"), F.regexp_replace("word", "(.)", "$1§§")
         ).alias("w")
-    ).persist()
+    )
+    return bpe_merge_rounds(st, BPE_ROUNDS)
+
+
+def bpe_merge_rounds(st: DataFrame, rounds: int) -> DataFrame:
+    """BPE merge-training kernel over a doubled-separator token stream
+    (column `w`, one word per row, '§§a§§b§§' encoding — see
+    _bpe_oracle's comment): `rounds` rounds of corpus-wide argmax +
+    greedy merge with the r6 pair-DELTA census and parent/child cache
+    window (mechanics and scale notes in q_bpe_merges). Returns
+    (round, pair, cnt). Extracted from q_bpe_merges so the delta
+    census is directly property-testable against a pure-Python
+    full-recensus BPE trainer (tests/test_properties.py). Requires at
+    least one mergeable pair per round (the production corpus
+    guarantees it; the trainer's natural stop is counts running dry)."""
+    spark = st.sparkSession
+    st = st.persist()
 
     def pair_arr(col: Column) -> Column:
         t = F.filter(F.split(col, "§§"), lambda x: x != "")
@@ -476,7 +492,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streams, countss = [st], [counts]
     results = []
-    for k in range(1, BPE_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         top = counts.orderBy(F.desc("cnt"), "pair").limit(1).first()
         # the argmax action just materialized this round's counts (and,
         # through its delta branch, the parent stream's cache), so the
@@ -487,7 +503,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             countss.pop(0).unpersist()
         pa, pb = top["pair"].split(" ")
         results.append((k, top["pair"], top["cnt"]))
-        if k == BPE_ROUNDS:
+        if k == rounds:
             break  # the last argmax needs no merged stream
         # typed F.replace (not an interpolated F.expr): corpus tokens
         # may contain quote characters, which must stay data, not SQL

@@ -854,3 +854,71 @@ def test_trustrank_ranks_matches_integer_model(
         ).collect()
     }
     assert got == want, (raw_edges, seed_mod, iters, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_bpe_merge_rounds_matches_recensus_model(spark, corpus, rounds):
+    """bpe_merge_rounds (the r6 pair-DELTA census + parent/child cache
+    window) equals a pure-Python BPE trainer that RE-COUNTS the whole
+    corpus every round — the exact 'delta census is bit-identical to
+    full re-census' claim of the reshape, on arbitrary small corpora
+    (overlapping pairs like 'aaa', duplicate words, 1-char words).
+    Greedy merge model: left-to-right non-overlapping; argmax ties
+    break on ascending pair text."""
+    from hypothesis import assume
+
+    from confluent_example_firehose_spark.operators.scoring_queries import (
+        bpe_merge_rounds,
+    )
+
+    stream = [list(w) for w in corpus]
+    want = []
+    for k in range(1, rounds + 1):
+        census = {}
+        for toks in stream:
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                census[p] = census.get(p, 0) + 1
+        # the kernel requires a mergeable pair every round; stop the
+        # example (not the law) when this corpus runs dry early
+        assume(census)
+        top = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k, top[0], top[1]))
+        a, b = top[0].split(" ")
+        merged = []
+        for toks in stream:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == a
+                    and toks[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged.append(out)
+        stream = merged
+
+    enc = [
+        ("§§" + "".join(c + "§§" for c in w),) for w in corpus
+    ]
+    st_df = spark.createDataFrame(enc, "w string")
+    got = [
+        (r["round"], r["pair"], r["cnt"])
+        for r in bpe_merge_rounds(st_df, rounds)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == want, (corpus, rounds, got, want)
