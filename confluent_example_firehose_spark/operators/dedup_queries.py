@@ -682,7 +682,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly groupBy both shuffled text). Measured at sf0.1:
     2.46 MB -> 0.70 MB total shuffle bytes, window exchange
     1.28 MB -> 0.17 MB (SCALE.md)."""
-    d = load_table(spark, sf_dir, "documents")
+    return line_dedup(load_table(spark, sf_dir, "documents"), LINE_W)
+
+
+def line_dedup(d: DataFrame, line_w: int) -> DataFrame:
+    """C4-style first-occurrence chunk dedup + reassembly kernel over a
+    (doc_id, text) frame with `line_w`-word chunks. Returns (doc_id,
+    n_chunks, n_kept, clean_text); docs whose every chunk occurred
+    earlier (by doc_id, pos) vanish. Extracted from q_dedup_lines
+    (semantics + the r6 hashed-window-key scale notes there) for the
+    pure-Python model law in tests/test_properties.py."""
+    LINE_W = line_w
     st = d.select("doc_id", words("text").alias("w")).filter(
         F.size("w") > 0
     )

@@ -922,3 +922,121 @@ def test_bpe_merge_rounds_matches_recensus_model(spark, corpus, rounds):
         .collect()
     ]
     assert got == want, (corpus, rounds, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba"]),
+            min_size=0,
+            max_size=9,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    line_w=st.integers(1, 3),
+)
+def test_line_dedup_matches_model(spark, docs, line_w):
+    """line_dedup (corpus-wide first-occurrence chunk dedup on the r6
+    hashed window key + single-join reassembly) equals a pure-Python
+    model that walks docs by (doc_id, pos) with a seen-set keyed by
+    chunk TEXT — so the law also asserts that hashing the window key
+    did not change which chunk survives. Tiny word alphabet forces
+    heavy cross-document chunk collisions; empty docs are dropped,
+    fully-duplicated docs vanish, ragged tail chunks are shorter than
+    line_w."""
+    from confluent_example_firehose_spark.operators.dedup_queries import (
+        line_dedup,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    seen = set()
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        if not ws:
+            continue
+        chunks = [
+            " ".join(ws[p * line_w : (p + 1) * line_w])
+            for p in range((len(ws) + line_w - 1) // line_w)
+        ]
+        kept = []
+        for p, ch in enumerate(chunks):
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(p)
+        if kept:
+            want[doc_id] = (
+                len(chunks),
+                len(kept),
+                " ".join(chunks[p] for p in kept),
+            )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in line_dedup(df, line_w).collect()
+    }
+    assert got == want, (docs, line_w, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "zz", "x y"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_profile_matches_counter_model(spark, docs):
+    """repetition_profile (the r6 zero-shuffle row-local Arrow kernel)
+    equals a pure-Python Counter model — the exact claim of the
+    reshape: the numpy per-batch kernel computes the same counts the
+    explode->groupBy form did. Covers all-same-word docs (max
+    repetition), sub-2-word docs (filtered), and the bigram join
+    encoding ('x y' as a WORD cannot collide with the bigram of 'x'
+    then 'y' because words cannot contain whitespace — the law feeds
+    'x y' as two words via the split). Ratio denominators stay <= 24,
+    where round-half ties at the 6th digit are impossible, so Python
+    round() is exact."""
+    from collections import Counter
+
+    from confluent_example_firehose_spark.operators.quality_queries import (
+        TOP_BIGRAM_MAX,
+        TOP_UNIGRAM_MAX,
+        repetition_profile,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    want = {}
+    for doc_id, text in rows:
+        w = [t for t in text.lower().split() if t]
+        if len(w) < 2:
+            continue
+        uni = Counter(w)
+        bi = Counter(a + " " + b for a, b in zip(w, w[1:]))
+        n, nd = len(w), len(uni)
+        tu = round(max(uni.values()) / n, 6)
+        tb = round(max(bi.values()) / (n - 1), 6)
+        want[doc_id] = (
+            n, nd, round(nd / n, 6), tu, tb,
+            int(tu > TOP_UNIGRAM_MAX or tb > TOP_BIGRAM_MAX),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct"], r["distinct_ratio"],
+            r["top_unigram_frac"], r["top_bigram_frac"],
+            r["flag_repetitive"],
+        )
+        for r in repetition_profile(df).collect()
+    }
+    assert got == want, (docs, got, want)
