@@ -85,7 +85,12 @@ _RECHECK: tuple[str, ...] = (
     # q_dedup_canonical (late-r6 connected_components edge
     # persist/partition — plan-only). All late-r6 reshapes keep outputs
     # unchanged and were locally oracle-verified at sf0.01 (text ones
-    # also sf0.001), but the driver row should confirm.
+    # also sf0.001), but the driver row should confirm. The reshaped
+    # loops are additionally extracted as kernels and pinned by
+    # pure-Python model laws (tests/test_properties.py laws 8-15), so
+    # their correctness no longer rests on the stale driver rows alone.
+    # Use tools/window_preview.py to check the 50-slot budget BEFORE
+    # registering anything new in r7.
 )
 
 def _driver_history() -> dict[str, int]:
