@@ -692,11 +692,10 @@ def line_dedup(d: DataFrame, line_w: int) -> DataFrame:
     earlier (by doc_id, pos) vanish. Extracted from q_dedup_lines
     (semantics + the r6 hashed-window-key scale notes there) for the
     pure-Python model law in tests/test_properties.py."""
-    LINE_W = line_w
     st = d.select("doc_id", words("text").alias("w")).filter(
         F.size("w") > 0
     )
-    nch = F.ceil(F.size("w") / F.lit(float(LINE_W))).cast("int")
+    nch = F.ceil(F.size("w") / F.lit(float(line_w))).cast("int")
     # chunk hashes only — the chunk string is built and hashed inside
     # the transform, never materialized as a column
     chh = st.select(
@@ -706,7 +705,7 @@ def line_dedup(d: DataFrame, line_w: int) -> DataFrame:
                 F.sequence(F.lit(0), nch - 1),
                 lambda i: portable_hash60(
                     F.array_join(
-                        F.slice(F.col("w"), i * LINE_W + 1, LINE_W), " "
+                        F.slice(F.col("w"), i * line_w + 1, line_w), " "
                     )
                 ),
             )
@@ -735,7 +734,7 @@ def line_dedup(d: DataFrame, line_w: int) -> DataFrame:
                 F.col("keep_pos"),
                 lambda p: F.array_join(
                     F.slice(
-                        F.col("w"), (p * LINE_W + 1).cast("int"), LINE_W
+                        F.col("w"), (p * line_w + 1).cast("int"), line_w
                     ),
                     " ",
                 ),
