@@ -466,9 +466,9 @@ def bpe_merge_rounds(st: DataFrame, rounds: int) -> DataFrame:
     window (mechanics and scale notes in q_bpe_merges). Returns
     (round, pair, cnt). Extracted from q_bpe_merges so the delta
     census is directly property-testable against a pure-Python
-    full-recensus BPE trainer (tests/test_properties.py). Requires at
-    least one mergeable pair per round (the production corpus
-    guarantees it; the trainer's natural stop is counts running dry)."""
+    full-recensus BPE trainer (tests/test_properties.py). Stops early
+    (fewer than `rounds` result rows) when the pair census runs dry —
+    a corpus can exhaust its mergeable pairs before the round budget."""
     spark = st.sparkSession
     st = st.persist()
 
@@ -501,6 +501,8 @@ def bpe_merge_rounds(st: DataFrame, rounds: int) -> DataFrame:
             streams.pop(0).unpersist()
         while len(countss) > 1:
             countss.pop(0).unpersist()
+        if top is None:
+            break  # census ran dry: every word is a single token
         pa, pb = top["pair"].split(" ")
         results.append((k, top["pair"], top["cnt"]))
         if k == rounds:

@@ -873,9 +873,8 @@ def test_bpe_merge_rounds_matches_recensus_model(spark, corpus, rounds):
     full re-census' claim of the reshape, on arbitrary small corpora
     (overlapping pairs like 'aaa', duplicate words, 1-char words).
     Greedy merge model: left-to-right non-overlapping; argmax ties
-    break on ascending pair text."""
-    from hypothesis import assume
-
+    break on ascending pair text; a census that runs dry before the
+    round budget stops trainer and model with the same result prefix."""
     from confluent_example_firehose_spark.operators.scoring_queries import (
         bpe_merge_rounds,
     )
@@ -888,9 +887,8 @@ def test_bpe_merge_rounds_matches_recensus_model(spark, corpus, rounds):
             for i in range(len(toks) - 1):
                 p = toks[i] + " " + toks[i + 1]
                 census[p] = census.get(p, 0) + 1
-        # the kernel requires a mergeable pair every round; stop the
-        # example (not the law) when this corpus runs dry early
-        assume(census)
+        if not census:
+            break
         top = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
         want.append((k, top[0], top[1]))
         a, b = top[0].split(" ")
