@@ -11,6 +11,9 @@
 set -e
 cd "$(dirname "$0")/.."
 
+echo "== 0/5 driver-window composition (50-slot budget) =="
+python tools/window_preview.py 2>/dev/null | head -3
+
 echo "== 1/5 pytest =="
 python -m pytest tests/ -q -x
 
