@@ -63,24 +63,34 @@ def connected_components(
     the dst-keyed propagation messages (edge-bounded, map-side
     combined)."""
     edges = edges.repartition("src").persist()
-    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
     converged = False
-    for _ in range(max_iters):
-        msgs = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
-        labels = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        )
+    # try/finally (r7, ADVICE r6): a mid-loop exception (checkpoint
+    # failure) or a caller catching the non-convergence raise must not
+    # leave the cached edge table pinned for the session — same
+    # discipline as the graph kernels (bfs_distances/pagerank_ranks).
+    # The returned labels frame is a localCheckpoint, so unpersisting
+    # edges in finally cannot invalidate it.
+    try:
+        labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
         labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+        prev_sum = labels.agg(F.sum("comp")).first()[0]
+        for _ in range(max_iters):
+            msgs = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "comp")
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            labels = labels.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("comp")).first()[0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        edges.unpersist()
     if not converged:
         # Falling through with partial propagation would silently return
         # WRONG component labels (r3 ADVICE) — fail loudly instead; the

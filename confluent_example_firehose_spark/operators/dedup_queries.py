@@ -420,6 +420,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_TOPN = 25  # deterministic top-N matched pairs (score desc, ids asc)
+ER_MAX_BUCKET = 4096  # blocking cap: over-cap blocks re-block on bal_band
+
+# The oracle replays the REFINEMENT rule, not just the plain block join
+# (r7, VERDICT r6 item 3): a pair survives iff its block is within the
+# cap, OR (over-cap block) the two records share the secondary bal_band
+# key — exactly bucket_pairs_refined's semantics. At the standard SFs
+# every (nation, segment) block is under the cap so the extra predicate
+# is vacuous and the oracle equals the old plain join; on the ER skew
+# clone (tools/skew_probe.py --er, one mega-block > cap) both engines
+# apply the same rule and the result stays hash-adjudicated while the
+# big route demonstrably fires.
 
 
 @register(
@@ -428,8 +439,14 @@ ER_TOPN = 25  # deterministic top-N matched pairs (score desc, ids asc)
     WITH c AS (
         SELECT c_custkey, c_nationkey, c_mktsegment,
                right(c_name, 3) AS name_sfx,
-               CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+               CAST(round(c_acctbal * 100) AS BIGINT) AS balc,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+                   AS bal_band
         FROM customer
+    ),
+    bs AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS bn
+        FROM c GROUP BY c_nationkey, c_mktsegment
     ),
     pairs AS (
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -441,6 +458,9 @@ ER_TOPN = 25  # deterministic top-N matched pairs (score desc, ids asc)
           ON a.c_nationkey = b.c_nationkey
          AND a.c_mktsegment = b.c_mktsegment
          AND a.c_custkey < b.c_custkey
+        JOIN bs ON bs.c_nationkey = a.c_nationkey
+               AND bs.c_mktsegment = a.c_mktsegment
+        WHERE bs.bn <= {ER_MAX_BUCKET} OR a.bal_band = b.bal_band
     )
     SELECT id_a, id_b, score FROM pairs
     ORDER BY score DESC, id_a, id_b

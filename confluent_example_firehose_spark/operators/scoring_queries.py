@@ -494,10 +494,19 @@ def bpe_merge_rounds(st: DataFrame, rounds: int) -> DataFrame:
     results = []
     for k in range(1, rounds + 1):
         top = counts.orderBy(F.desc("cnt"), "pair").limit(1).first()
-        # the argmax action just materialized this round's counts (and,
-        # through its delta branch, the parent stream's cache), so the
-        # grandparents can be released; the window stays parent+child
-        while len(streams) > 1:
+        # Cache-window accounting (r7, ADVICE r6): round k's argmax
+        # materializes counts_{k-1}, whose delta branch reads the
+        # PARENT stream st_{k-2} — the newest stream st_{k-1} is still
+        # unmaterialized at this point (nothing in counts_{k-1}'s
+        # lineage touches it). The stream window must therefore stay
+        # 2 deep: popping to 1 here would unpersist the materialized
+        # parent and leave only the lazy child, which would then
+        # recompute from the raw scan (O(rounds^2) total work, the r6
+        # off-by-one). With a 2-deep window, st_{k-1} materializes from
+        # st_{k-2}'s cache at round k+1's argmax with exactly one
+        # narrow replace. The counts window CAN stay 1 deep because
+        # the argmax directly materializes the newest counts table.
+        while len(streams) > 2:
             streams.pop(0).unpersist()
         while len(countss) > 1:
             countss.pop(0).unpersist()

@@ -202,12 +202,18 @@ def _ivf_train(sample: np.ndarray) -> np.ndarray:
     centroids the query trains. Training itself need not be
     fold-replicable (only its OUTPUT is shared across engines), so the
     pairwise-sum numpy forms are fine here."""
+    # Degrade gracefully on tiny corpora (r7, ADVICE r6): with fewer
+    # than IVF_K non-empty embeddings, rng.choice(replace=False) would
+    # crash — train k_eff = len(sample) centroids instead. Both the
+    # Spark query and the oracle builder share this function, so the
+    # degraded centroid set stays engine-consistent.
+    k_eff = min(IVF_K, len(sample))
     rng = np.random.RandomState(42)
-    cents = sample[rng.choice(len(sample), IVF_K, replace=False)]
+    cents = sample[rng.choice(len(sample), k_eff, replace=False)]
     for _ in range(IVF_ITERS):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(1)
-        for k in range(IVF_K):
+        for k in range(k_eff):
             m = sample[assign == k]
             if len(m):
                 cents[k] = m.mean(0)
@@ -268,7 +274,7 @@ def _ivf_oracle():
         "({}, [{}])".format(
             k, ", ".join(repr(float(x)) for x in cents[k])
         )
-        for k in range(IVF_K)
+        for k in range(len(cents))
     )
     return f"""
     WITH e AS (
@@ -340,6 +346,10 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = np.array(
         [r["v"] for r in e.orderBy("vec_id").limit(IVF_SAMPLE).collect()]
     )
+    if sample.size == 0:  # no non-empty embeddings: nothing to index
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double"
+        )
     cents = _ivf_train(sample)
     cents_b = spark.sparkContext.broadcast(cents)
 

@@ -63,35 +63,101 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r6 (VERDICT r5 item 1): the tier-2 list is deliberately minimal
-    # this round so tier 3 (stalest-first) fills the window with the 49
-    # queries whose latest driver check is r1/r2. The only entry is the
-    # rows-only -> hash-checked conversion that needs a fresh driver row
-    # to record its new oracle (VERDICT r5 item 2).
-    "q_similarity_ivf",
-    # r7 TODO (set at the START of r7 — editing tier 2 mid-r6 would
-    # displace the stale set from THIS round's window): re-adjudicate
-    # the r6-changed-output queries that could not fit the r6 window:
-    # q_bpe_merges (3->8 rounds), q_dedup_source_matrix (tau 0.2->0.5),
-    # q_robust_stats (rank frontier), q_dedup_lines (hashed window
-    # key), q_stream_join_outer (watermark oracle), q_graph_trustrank
-    # (oracle cleanup), q_stateful_ttl_event if its r6 row is missing,
-    # q_doc_fingerprint (the one stale r2 row the window couldn't
-    # hold), q_bpe_merges again + q_quality_repetition (late-r6
-    # reshapes: pair-delta census / zero-shuffle row-local kernel),
-    # q_graph_pagerank/bfs/sssp/trustrank/kcore (late-r6 edges
-    # pre-partitioning, frontier messaging, and the k-core small-side
-    # checkpoint — all plan-only), and q_dedup_clusters +
-    # q_dedup_canonical (late-r6 connected_components edge
-    # persist/partition — plan-only). All late-r6 reshapes keep outputs
-    # unchanged and were locally oracle-verified at sf0.01 (text ones
-    # also sf0.001), but the driver row should confirm. The reshaped
-    # loops are additionally extracted as kernels and pinned by
-    # pure-Python model laws (tests/test_properties.py laws 8-15), so
-    # their correctness no longer rests on the stale driver rows alone.
-    # Use tools/window_preview.py to check the 50-slot budget BEFORE
-    # registering anything new in r7.
+    # r7 (VERDICT r6 item 1): the 13 queries whose code was reshaped
+    # late in r6 AFTER their last driver check (r5 or earlier) — the
+    # driver row is the ground truth, so changed code outranks
+    # merely-stale unchanged code. All were locally oracle-verified at
+    # sf0.01 after the reshapes (judge re-ran them too: 15/15 pass),
+    # but the r7 window must confirm.
+    "q_graph_bfs",
+    "q_graph_sssp",
+    "q_graph_kcore",
+    "q_graph_pagerank",
+    "q_graph_trustrank",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_dedup_lines",
+    "q_bpe_merges",
+    "q_quality_repetition",
+    "q_robust_stats",
+    "q_stream_join_outer",
+    "q_hll_mergeable",
+    # r6-changed-output stragglers the r6 window couldn't hold
+    # (round-ops memory): tau retune + the one stale r2 row.
+    "q_dedup_source_matrix",
+    "q_doc_fingerprint",
 )
+# NOTE: tier 2 is additionally fed by _changed_since_checked() below
+# (VERDICT r6 item 2) — queries whose implementing MODULE has a git
+# commit in a round after the query's latest CORRECTNESS row are
+# auto-promoted, so a reshape-after-check can no longer silently wait
+# out a full staleness rotation. Kernel-only edits (e.g. dedup.py,
+# graph.py — files that register no queries themselves) are NOT seen by
+# the module-granularity detector: list their queries here explicitly.
+
+def _changed_since_checked(history: dict[str, int]) -> set[str]:
+    """Names whose implementing module was modified in a LATER build
+    round than the query's latest driver CORRECTNESS row (VERDICT r6
+    item 2). The driver adjudicates the end-of-round tree, so a commit
+    belongs to round N+1 iff it is after the driver's 'round N: ...'
+    marker commit; a module whose last-touching commit falls in round M
+    with a query last checked in round R < M has changed since that
+    query was last adjudicated. Uncommitted (dirty) modules count as
+    modified in the current round. Degrades to the empty set on any git
+    failure — the static _RECHECK tuple still applies."""
+    import os
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=root, capture_output=True, text=True,
+            timeout=30, check=True,
+        ).stdout
+
+    try:
+        # hash -> round: walk history oldest-first; 'round N:' driver
+        # commits close round N, so subsequent commits are round N+1.
+        commit_round: dict[str, int] = {}
+        rnd = 1
+        for line in git("log", "--reverse", "--format=%H %s").splitlines():
+            h, _, subj = line.partition(" ")
+            commit_round[h] = rnd
+            m = re.match(r"round (\d+):", subj)
+            if m:
+                rnd = int(m.group(1)) + 1
+        current_round = rnd
+
+        dirty = {
+            ln[3:].strip()
+            for ln in git("status", "--porcelain").splitlines()
+        }
+
+        mod_round: dict[str, int] = {}  # module name -> round of last edit
+
+        def module_round(mod: str) -> int:
+            if mod not in mod_round:
+                rel = mod.replace(".", "/") + ".py"
+                if rel in dirty:
+                    mod_round[mod] = current_round
+                else:
+                    out = git("log", "-1", "--format=%H", "--", rel).strip()
+                    mod_round[mod] = commit_round.get(out, 0)
+            return mod_round[mod]
+
+        changed: set[str] = set()
+        for name, spec in _REGISTRY.items():
+            checked = history.get(name)
+            if checked is None:
+                continue  # tier 1 handles never-checked
+            if module_round(spec.fn.__module__) > checked:
+                changed.add(name)
+        return changed
+    except Exception:
+        return set()
+
 
 def _driver_history() -> dict[str, int]:
     """name -> latest round with a driver CORRECTNESS row, read from the
@@ -150,21 +216,26 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import split_queries  # noqa: F401
     from .operators import graph_queries  # noqa: F401
 
-    # Driver-priority ordering, three tiers inside the 50-entry window:
+    # Driver-priority ordering, four tiers inside the 50-entry window:
     #   1. never driver-checked (no CORRECTNESS row in any round) — in
     #      registration order; new queries ALWAYS land here;
-    #   2. this round's re-adjudications (_RECHECK order);
+    #   2. this round's explicit re-adjudications (_RECHECK order);
+    #   2b. auto-promoted changed-since-checked (module edited in a
+    #       round after the query's latest driver row — VERDICT r6
+    #       item 2), stalest first;
     #   3. the rest, least-recently-checked round first, then
     #      registration order (rotates old greens back under the
     #      driver's eye across rounds).
     history = _driver_history()
     recheck = {name: i for i, name in enumerate(_RECHECK)}
+    changed = _changed_since_checked(history)
     reg_pos = {name: i for i, name in enumerate(_REGISTRY)}
     ordered = sorted(
         _REGISTRY.items(),
         key=lambda kv: (
             kv[0] in history,  # tier 1: never-checked first
             recheck.get(kv[0], len(recheck)),  # tier 2
+            kv[0] not in changed,  # tier 2b: changed code next
             history.get(kv[0], 0),  # tier 3: stalest first
             reg_pos[kv[0]],
         ),

@@ -25,6 +25,7 @@ sys.path.insert(
 
 from confluent_example_firehose_spark.registry import (  # noqa: E402
     _RECHECK,
+    _changed_since_checked,
     _driver_history,
     all_queries,
 )
@@ -37,6 +38,7 @@ def main() -> int:
 
     history = _driver_history()
     names = list(all_queries())
+    changed = _changed_since_checked(history)
     win, rest = names[: args.window], names[args.window :]
 
     def tier(n: str) -> str:
@@ -44,6 +46,8 @@ def main() -> int:
             return "1:new"
         if n in _RECHECK:
             return "2:recheck"
+        if n in changed:
+            return f"2b:changed(r{history[n]})"
         return f"3:stale(r{history[n]})"
 
     print(f"registered queries: {len(names)}  window: {args.window}")
