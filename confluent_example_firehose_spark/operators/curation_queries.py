@@ -46,12 +46,13 @@ def connected_components(
     Scale shape: each round is one equi-join (labels x edges, both sides
     partitioned by the join key) + one groupBy-min — the standard
     iterative-dataflow pattern (label propagation / hash-to-min).
-    Lineage is truncated every round with localCheckpoint(eager=True):
-    without it the plan doubles per iteration and the driver dies on
-    plan bloat long before the data is the problem. Convergence is
-    detected with a one-row aggregate: labels only ever DECREASE, so an
-    unchanged sum(comp) is exactly a fixpoint — no row-level diff join
-    needed. Rounds needed = graph diameter (near-dup graphs are dense
+    Lineage is truncated every round with a LAZY localCheckpoint whose
+    materialization is folded into the convergence aggregate's job
+    (r7): without truncation the plan doubles per iteration and the
+    driver dies on plan bloat long before the data is the problem.
+    Convergence is detected with a one-row aggregate: labels only ever
+    DECREASE, so an unchanged sum(comp) is exactly a fixpoint — no
+    row-level diff join needed. Rounds needed = graph diameter (near-dup graphs are dense
     near-cliques; single digits in practice).
 
     The edge table is hash-partitioned on src and PERSISTED before the
@@ -71,8 +72,15 @@ def connected_components(
     # The returned labels frame is a localCheckpoint, so unpersisting
     # edges in finally cannot invalidate it.
     try:
+        # Convergence-fold (r7, VERDICT r6 item 4): the checkpoint is
+        # LAZY and the convergence aggregate's own job materializes it
+        # — runJob checkpoints marked ancestor RDDs after computing, so
+        # one job per round replaces the eager-checkpoint job + agg
+        # job pair. Measured at sf0.1 on the purchase graph: 5.05 s ->
+        # 4.57 s warm, outputs identical; lineage truncation is intact
+        # because the agg runs before the next round builds on labels.
         labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
         prev_sum = labels.agg(F.sum("comp")).first()[0]
         for _ in range(max_iters):
             msgs = edges.join(
@@ -83,7 +91,7 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("comp").alias("comp"))
             )
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=False)
             cur_sum = labels.agg(F.sum("comp")).first()[0]
             if cur_sum == prev_sum:
                 converged = True
