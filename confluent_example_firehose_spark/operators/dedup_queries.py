@@ -765,3 +765,87 @@ def line_dedup(d: DataFrame, line_w: int) -> DataFrame:
     return reassembled.join(totals, "doc_id").select(
         "doc_id", "n_chunks", "n_kept", "clean_text"
     )
+
+
+SUB_W = 8  # words per sliding duplicate-detection window
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')
+                   AS ws
+        FROM documents
+    ),
+    win AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(
+                   array_to_string(ws[pos + 1 : pos + {SUB_W}], ' ')
+               ), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(len(ws) - {SUB_W} + 1)) AS pos
+              FROM w WHERE len(ws) >= {SUB_W})
+    ),
+    dh AS (SELECT doc_id, h, count(*) AS k FROM win GROUP BY doc_id, h),
+    g AS (SELECT h, sum(k) AS cnt FROM dh GROUP BY h)
+    SELECT d.doc_id,
+           CAST(sum(d.k) AS BIGINT) AS n_windows,
+           CAST(coalesce(sum(d.k) FILTER (g.cnt >= 2), 0) AS BIGINT)
+               AS n_dup
+    FROM dh d JOIN g ON g.h = d.h
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    sliding {SUB_W}-word window over every document, hashed and
+    censused corpus-wide; a window position is DUPLICATED iff its
+    content occurs >= 2 times anywhere in the corpus (including within
+    the same document). Output per document: total window positions
+    and duplicated positions — the span-level signal the suffix-array
+    ExactSubstr pass produces, at fixed window granularity (the same
+    granularity trade q_dedup_lines makes for C4 line dedup; the
+    paper's variable-length maximal match needs the suffix array, but
+    the fixed-W census dominates its recall for spans >= W).
+
+    Scale shape: the window TEXT never leaves the row — each position
+    contributes an 8-byte portable_hash60 (oracle-recomputable md5
+    prefix, same recipe as q_dedup_lines), so every shuffle carries
+    (doc_id, hash, count) rows. Three hash-keyed partial-aggregating
+    shuffles (per-doc census -> global census -> per-doc rollup): all
+    map-side combined, skew-safe (a viral window concentrates into ONE
+    census row per partial, and the dh ⋈ g equi-join is AQE
+    skew-splittable — no window-function single-partition wall). At
+    100 TB this is the same plan; only the census cardinality grows."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= SUB_W
+    )
+    wins = st.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SUB_W),
+                lambda i: portable_hash60(
+                    F.array_join(F.slice(F.col("w"), i + 1, SUB_W), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    dh = wins.groupBy("doc_id", "h").agg(F.count("*").alias("k"))
+    g = dh.groupBy("h").agg(F.sum("k").alias("cnt"))
+    return (
+        dh.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("k"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )

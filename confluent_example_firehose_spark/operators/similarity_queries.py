@@ -777,3 +777,141 @@ def q_similarity_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("score", 6).alias("score")
         )
     )
+
+
+SEM_TAU = 0.35  # dup threshold: inside this synthetic corpus's
+# similarity TAIL (cos p99.9 ~= 0.38, max ~0.5-0.6 across SFs) so the
+# result is non-empty at every test SF; a real embedding space uses
+# ~0.9+ with the identical plan.
+
+
+def _semdedup_oracle():
+    """Centroid-literal oracle for q_dedup_semantic — same lazy recipe
+    as _ivf_oracle (shared _ivf_train seeded k-means, repr-exact double
+    literals, sequential-fold distances), then the SemDeDup rule
+    replayed in SQL: within-cluster pairs only, cos >= SEM_TAU, each
+    dup keyed to its smallest qualifying earlier neighbor."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' WHERE len(embedding) > 0 "
+            f"ORDER BY vec_id LIMIT {IVF_SAMPLE}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample)
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT vec_id, v, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT a.vec_id, b.vec_id AS b_id,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM assigned a JOIN assigned b
+          ON b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {SEM_TAU}
+    )
+    SELECT vec_id, min(b_id) AS kept_by, arg_min(cos, b_id) AS cos
+    FROM dup GROUP BY vec_id
+    """
+
+
+@register("q_dedup_semantic", oracle=_semdedup_oracle)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup at embedding level
+    — k-means-cluster the corpus, then mark a vector as a duplicate iff
+    some SAME-CLUSTER vector with a smaller id has cosine >= SEM_TAU;
+    output (vec_id, kept_by, cos) for every dropped vector, kept_by =
+    the smallest qualifying neighbor. The cluster restriction is the
+    whole point: pairwise comparison runs within clusters only, never
+    across the corpus — the paper's recipe for dedup at LAION scale.
+
+    Scale shape: centroid training is a bounded driver-side sample
+    (identical to q_similarity_ivf — k-means training is always a
+    sample), assignment is an Arrow-vectorized narrow map, and the
+    pairwise stage is ONE equi-join on cluster_id whose expansion is
+    sum(cluster_size^2) — bounded by scaling k with the corpus so
+    cluster sizes stay fixed (the paper's configuration), never an
+    all-pairs cross join. Skewed clusters split under AQE. Hash-checked
+    end-to-end: assignment replays the _seq_sqdist sequential fold, cos
+    is the bit-identical aggregate fold of q_similarity_topk, and the
+    >= SEM_TAU threshold therefore agrees bit-for-bit across engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
+    sample = np.array(
+        [r["v"] for r in e.orderBy("vec_id").limit(IVF_SAMPLE).collect()]
+    )
+    if sample.size == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, kept_by long, cos double"
+        )
+    cents = _ivf_train(sample)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        c = cents_b.value
+        x = np.stack(vs.to_numpy())
+        return pd.Series(_seq_sqdist(x, c).argmin(1).astype(np.int32))
+
+    listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
+    a = listed.select("cluster_id", "vec_id", "v")
+    b = listed.select(
+        "cluster_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+    )
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .select(
+            "vec_id", "b_id", cosine(F.col("v"), F.col("bv")).alias("cos")
+        )
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    return dup.groupBy("vec_id").agg(
+        F.min("b_id").alias("kept_by"),
+        F.min_by("cos", "b_id").alias("cos"),
+    )
