@@ -1,0 +1,72 @@
+"""Semantics pins for the r7 operators on hand-built micro-corpora
+(the differential gate at sf0.01 is tools/check_oracle.py; these pin
+the rules on inputs where the expected output is computed by hand)."""
+
+from __future__ import annotations
+
+from confluent_example_firehose_spark.registry import all_queries
+
+
+def test_substring_dedup_counts(spark, tmp_path):
+    """W=8 sliding windows. doc1 and doc2 share their full 10-word
+    text -> every window position duplicated; doc3 is unique -> zero;
+    doc4 repeats its own first 8 words at position 8 -> exactly the
+    two positions holding that window are duplicated (self-duplication
+    counts, per ExactSubstr)."""
+    a = " ".join(f"a{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    x8 = " ".join(f"x{i}" for i in range(8))
+    rows = [
+        (1, "en", "s1", 0, a),
+        (2, "en", "s2", 0, a),
+        (3, "en", "s1", 0, c),
+        (4, "en", "s2", 0, f"{x8} {x8}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "sub_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_dedup_substring"].fn(spark, sf_dir).collect()
+    }
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup"] == 3
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup"] == 3
+    assert out[3]["n_windows"] == 3 and out[3]["n_dup"] == 0
+    # 16 words -> 9 positions; pos 0 and pos 8 hold the same window
+    assert out[4]["n_windows"] == 9 and out[4]["n_dup"] == 2
+
+
+def test_semdedup_exact_twins(spark, tmp_path):
+    """Exact-duplicate vectors ALWAYS land in the same cluster (their
+    centroid distances are identical, argmin ties break identically),
+    so SemDeDup must drop the higher vec_id of each twin pair keyed to
+    the lower one; orthogonal singles (cos 0 < tau) survive. Also
+    exercises the k_eff < IVF_K degraded-training path (6 vectors)."""
+    dim = 8
+
+    def unit(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (0, unit(0)),
+        (1, unit(1)),
+        (2, unit(2)),
+        (3, unit(0)),  # twin of 0
+        (4, unit(1)),  # twin of 1
+        (5, unit(3)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf_dir = str(tmp_path / "sem_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["q_dedup_semantic"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == {3, 4}
+    assert out[3]["kept_by"] == 0 and out[3]["cos"] >= 0.999
+    assert out[4]["kept_by"] == 1 and out[4]["cos"] >= 0.999
