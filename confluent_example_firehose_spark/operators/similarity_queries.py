@@ -196,18 +196,18 @@ def _lsh_oracle(multiprobe: bool) -> str:
 IVF_K, IVF_NPROBE, IVF_SAMPLE, IVF_ITERS = 16, 4, 512, 8
 
 
-def _ivf_train(sample: np.ndarray) -> np.ndarray:
+def _ivf_train(sample: np.ndarray, k: int = IVF_K) -> np.ndarray:
     """Seeded k-means shared by the Spark query AND the oracle builder,
     so the centroid literals the oracle embeds can never drift from the
     centroids the query trains. Training itself need not be
     fold-replicable (only its OUTPUT is shared across engines), so the
     pairwise-sum numpy forms are fine here."""
     # Degrade gracefully on tiny corpora (r7, ADVICE r6): with fewer
-    # than IVF_K non-empty embeddings, rng.choice(replace=False) would
+    # than k non-empty embeddings, rng.choice(replace=False) would
     # crash — train k_eff = len(sample) centroids instead. Both the
     # Spark query and the oracle builder share this function, so the
     # degraded centroid set stays engine-consistent.
-    k_eff = min(IVF_K, len(sample))
+    k_eff = min(k, len(sample))
     rng = np.random.RandomState(42)
     cents = sample[rng.choice(len(sample), k_eff, replace=False)]
     for _ in range(IVF_ITERS):
@@ -357,12 +357,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_list(vs: pd.Series) -> pd.Series:
         # Vectorized per Arrow batch (VERDICT r4 item 4), but with the
         # dim-sequential accumulation of _seq_sqdist so the oracle's
-        # list_reduce fold sees bit-identical distances.
+        # list_reduce fold sees bit-identical distances. The fold is
+        # INLINED, not a call to the module-level _seq_sqdist: a
+        # module-global reference pickles by name and breaks on
+        # workers whose cwd can't import the package (the driver runs
+        # from its own directory); _seq_sqdist stays module-level for
+        # the unit tests and the oracle builder.
         c = cents_b.value
         x = np.stack(vs.to_numpy())
-        return pd.Series(
-            _seq_sqdist(x, c).argmin(1).astype(np.int32)
-        )
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
 
     listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
     # queries probe their NPROBE nearest lists (stable sort: ties on
@@ -783,6 +790,20 @@ SEM_TAU = 0.35  # dup threshold: inside this synthetic corpus's
 # similarity TAIL (cos p99.9 ~= 0.38, max ~0.5-0.6 across SFs) so the
 # result is non-empty at every test SF; a real embedding space uses
 # ~0.9+ with the identical plan.
+SEM_CLUSTER_TARGET = 32  # target cluster SIZE: k scales with the corpus
+
+
+def _sem_k(n: int) -> int:
+    """SemDeDup's cluster count as a function of corpus size: k scales
+    so cluster sizes stay ~SEM_CLUSTER_TARGET, which keeps the
+    intra-cluster pair expansion LINEAR in n (sum of size^2 over n/t
+    clusters of size t = n*t). A fixed k makes pairs grow
+    quadratically — the r7 10x-clone probe measured exactly that
+    (42x wall at 10x data with k=16) before this rule. Capped at
+    IVF_SAMPLE because centroids train on a bounded sample; shared by
+    the Spark query and the oracle builder so both engines derive the
+    identical k from the identical count."""
+    return max(1, min(n // SEM_CLUSTER_TARGET, IVF_SAMPLE))
 
 
 def _semdedup_oracle():
@@ -807,12 +828,15 @@ def _semdedup_oracle():
             f"SELECT embedding FROM '{path}' WHERE len(embedding) > 0 "
             f"ORDER BY vec_id LIMIT {IVF_SAMPLE}"
         ).fetchall()
+        n_all = con.execute(
+            f"SELECT count(*) FROM '{path}' WHERE len(embedding) > 0"
+        ).fetchone()[0]
     finally:
         con.close()
     if not rows:
         return None
     sample = np.array([r[0] for r in rows], dtype=np.float64)
-    cents = _ivf_train(sample)
+    cents = _ivf_train(sample, k=_sem_k(n_all))
     dim = sample.shape[1]
     vals = ",\n        ".join(
         "({}, [{}])".format(
@@ -871,15 +895,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical to q_similarity_ivf — k-means training is always a
     sample), assignment is an Arrow-vectorized narrow map, and the
     pairwise stage is ONE equi-join on cluster_id whose expansion is
-    sum(cluster_size^2) — bounded by scaling k with the corpus so
-    cluster sizes stay fixed (the paper's configuration), never an
-    all-pairs cross join. Skewed clusters split under AQE. Hash-checked
-    end-to-end: assignment replays the _seq_sqdist sequential fold, cos
-    is the bit-identical aggregate fold of q_similarity_topk, and the
+    sum(cluster_size^2). k is NOT fixed: _sem_k scales it with the
+    corpus count so cluster sizes stay ~SEM_CLUSTER_TARGET and the
+    pair expansion stays LINEAR in n (the paper's configuration; the
+    r7 10x-clone probe measured 42x wall at 10x data with a fixed k
+    before this rule, ~linear after). Never an all-pairs cross join;
+    skewed clusters split under AQE. At extreme corpus scale the
+    O(n*k) flat assignment becomes the next cost — production IVF
+    assigns hierarchically; the join shape is unchanged. Hash-checked
+    end-to-end: both engines derive k from the same non-empty count,
+    assignment replays the _seq_sqdist sequential fold, cos is the
+    bit-identical aggregate fold of q_similarity_topk, and the
     >= SEM_TAU threshold therefore agrees bit-for-bit across engines."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") > 0
     ).select("vec_id", to_double_array("embedding").alias("v"))
+    n_all = e.count()
     sample = np.array(
         [r["v"] for r in e.orderBy("vec_id").limit(IVF_SAMPLE).collect()]
     )
@@ -887,16 +918,29 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, kept_by long, cos double"
         )
-    cents = _ivf_train(sample)
+    cents = _ivf_train(sample, k=_sem_k(n_all))
     cents_b = spark.sparkContext.broadcast(cents)
 
     @pandas_udf("int")
     def nearest_list(vs: pd.Series) -> pd.Series:
+        # _seq_sqdist's fold inlined for worker self-containment (see
+        # q_similarity_ivf's nearest_list comment).
         c = cents_b.value
         x = np.stack(vs.to_numpy())
-        return pd.Series(_seq_sqdist(x, c).argmin(1).astype(np.int32))
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
 
-    listed = e.withColumn("cluster_id", nearest_list(F.col("v")))
+    # Persisted: BOTH sides of the within-cluster self-join read the
+    # assignment, and the O(n*k) distance UDF is the dominant cost —
+    # without the cache it runs twice (measured 2x wall at the 10x
+    # clone). Same persist-without-unpersist pattern as q_dedup_near's
+    # shingle table: the cache is corpus-bounded and session-LRU'd.
+    listed = e.withColumn(
+        "cluster_id", nearest_list(F.col("v"))
+    ).persist()
     a = listed.select("cluster_id", "vec_id", "v")
     b = listed.select(
         "cluster_id",

@@ -58,6 +58,13 @@ _CLONES = {
         "l_suppkey + {k} * 10000000 AS l_suppkey, "
         "* EXCLUDE (l_orderkey, l_suppkey) FROM t"
     ),
+    # r7: clone embeddings too (disjoint vec_id ranges) so the
+    # embedding-side operators (q_dedup_semantic, ANN) get a real 10x
+    # measurement instead of reading the symlinked original.
+    "embeddings": (
+        "SELECT vec_id + {k} * 10000000 AS vec_id, "
+        "* EXCLUDE (vec_id) FROM t"
+    ),
 }
 
 
