@@ -127,6 +127,16 @@ def main() -> None:
         env["mem_available_gib"] = round(mem["MemAvailable"] / 1048576, 1)
     except (OSError, KeyError, ValueError):
         pass
+    # Single-thread speed canary (r7): loadavg alone missed a ~1.6x
+    # box-wide slowdown burst (every query uniformly slower at loadavg
+    # ~2). A fixed pure-Python spin gives an absolute per-round yard-
+    # stick: compare spin_ms across BENCH_r*.json before reading any
+    # total as a code regression.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    env["spin_ms"] = round((time.perf_counter() - t0) * 1000, 1)
 
     print(
         json.dumps(
