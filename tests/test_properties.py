@@ -1038,3 +1038,61 @@ def test_repetition_profile_matches_counter_model(spark, docs):
         for r in repetition_profile(df).collect()
     }
     assert got == want, (docs, got, want)
+
+
+_sub_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=14
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=_sub_docs)
+def test_substring_dedup_matches_model(spark, docs, tmp_path_factory):
+    """q_dedup_substring (law 16): the corpus-wide duplicated-window
+    census against a pure-Python Counter model on arbitrary small
+    word lists from a 3-token alphabet (dense duplicate collisions,
+    self-overlaps, and documents shorter than the window). A window
+    position is duplicated iff its SUB_W-word content occurs >= 2
+    times anywhere in the corpus, including inside the same doc."""
+    from collections import Counter
+
+    from confluent_example_firehose_spark.operators.dedup_queries import (
+        SUB_W,
+        q_dedup_substring,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    census: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        w = [t for t in text.lower().split() if t]
+        wins = [
+            " ".join(w[i:i + SUB_W]) for i in range(len(w) - SUB_W + 1)
+        ]
+        if wins:
+            per_doc[doc_id] = wins
+            census.update(wins)
+    want = {
+        doc_id: (
+            len(wins), sum(1 for x in wins if census[x] >= 2)
+        )
+        for doc_id, wins in per_doc.items()
+    }
+
+    sf_dir = str(tmp_path_factory.mktemp("sub_law"))
+    spark.createDataFrame(
+        [(i, "en", "s", 0, t) for i, t in rows],
+        "doc_id long, lang string, source string, n_chars long,"
+        " text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        sf_dir + "/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"])
+        for r in q_dedup_substring(spark, sf_dir).collect()
+    }
+    assert got == want, (docs, got, want)
