@@ -563,3 +563,110 @@ def bpe_merge_rounds(st: DataFrame, rounds: int) -> DataFrame:
     return spark.createDataFrame(
         results, "round long, pair string, cnt long"
     )
+
+
+def _bpe_encode_oracle() -> str:
+    """q_bpe_encode's oracle: the _bpe_oracle merge ladder with doc_id
+    carried through every w{k} CTE, finishing with a per-document
+    token count instead of the merge table. Each round's replace is
+    guarded for the census-ran-dry case (empty c{k} -> scalar
+    subqueries NULL -> replace would NULL the stream; the Spark side
+    simply stops applying merges there)."""
+    sql = """
+    WITH w0 AS MATERIALIZED (
+        SELECT doc_id,
+               '§§' || regexp_replace(word, '(.)', '\\1§§', 'g') AS w
+        FROM (SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\v]+'),
+                                        x -> x <> '')) AS word
+              FROM documents)
+    )"""
+    for k in range(1, BPE_ROUNDS + 1):
+        sql += f""",
+    c{k} AS MATERIALIZED (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1]))
+                       AS pair
+            FROM (SELECT list_filter(string_split(w, '§§'),
+                                     x -> x <> '') AS t
+                  FROM w{k - 1})
+        ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN (SELECT count(*) FROM c{k}) = 0 THEN w
+               ELSE replace(w,
+                   '§' || string_split((SELECT pair FROM c{k}), ' ')[1]
+                       || '§§'
+                       || string_split((SELECT pair FROM c{k}), ' ')[2]
+                       || '§',
+                   '§' || replace((SELECT pair FROM c{k}), ' ', '')
+                       || '§')
+               END AS w
+        FROM w{k - 1}
+    )"""
+    return sql + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(list_filter(string_split(w, '§§'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM w{BPE_ROUNDS} GROUP BY doc_id
+    """
+
+
+@register("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of q_bpe_merges' train loop:
+    train {BPE_ROUNDS} merges on the corpus, then ENCODE every
+    document with them and report per-doc word and BPE-token counts
+    (the pretraining-cost accounting every data pipeline runs before
+    a training job). The merge list is collected to the driver — it is
+    vocabulary-sized by definition (rounds rows; a production
+    tokenizer's merge table is exactly such a shipped artifact), so
+    the collect is bounded regardless of corpus size.
+
+    Scale shape: training is the r6 pair-delta census (see
+    q_bpe_merges); ENCODING is a chain of `rounds` narrow JVM string
+    replaces over the doubled-separator word stream — zero shuffles —
+    followed by ONE map-side-combined per-doc count aggregation. At
+    100 TB the encode pass is embarrassingly parallel and the only
+    exchange carries (doc_id, counts) rows. The oracle replays the
+    identical ladder with doc_id carried through (dry-census rounds
+    guarded on both sides: the trainer stops early, the oracle's CASE
+    keeps the stream unchanged)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    st = d.select(F.explode(words("text")).alias("word")).select(
+        F.concat(
+            F.lit("§§"), F.regexp_replace("word", "(.)", "$1§§")
+        ).alias("w")
+    )
+    # rounds-bounded collect: the trained merge table IS the artifact
+    merges = sorted(
+        bpe_merge_rounds(st, BPE_ROUNDS).collect(),
+        key=lambda r: r["round"],
+    )
+    enc = d.select("doc_id", F.explode(words("text")).alias("word")).select(
+        "doc_id",
+        F.concat(
+            F.lit("§§"), F.regexp_replace("word", "(.)", "$1§§")
+        ).alias("w"),
+    )
+    for r in merges:
+        pa, pb = r["pair"].split(" ")
+        enc = enc.select(
+            "doc_id",
+            F.replace(
+                F.col("w"),
+                F.lit(f"§{pa}§§{pb}§"),
+                F.lit(f"§{pa}{pb}§"),
+            ).alias("w"),
+        )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(
+            F.size(F.filter(F.split("w", "§§"), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
