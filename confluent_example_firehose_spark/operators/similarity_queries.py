@@ -959,3 +959,150 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b_id").alias("kept_by"),
         F.min_by("cos", "b_id").alias("cos"),
     )
+
+
+def _embed_ingest_oracle():
+    """Centroid-literal oracle for q_dedup_embed_ingest: centroids
+    train on the CORPUS side only (vec_id % 10 != 0), k from the
+    corpus count — replayed here exactly as the Spark side derives
+    them — then the batch x corpus within-cluster rule in SQL."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % 10 <> 0 "
+            f"ORDER BY vec_id LIMIT {IVF_SAMPLE}"
+        ).fetchall()
+        n_corpus = con.execute(
+            f"SELECT count(*) FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % 10 <> 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample, k=_sem_k(n_corpus))
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT vec_id, v, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    batch AS (SELECT * FROM assigned WHERE vec_id % 10 = 0),
+    corpus AS (SELECT * FROM assigned WHERE vec_id % 10 <> 0),
+    dup AS (
+        SELECT b.vec_id, o.vec_id AS dup_of,
+               list_cosine_similarity(b.v, o.v) AS cos
+        FROM batch b JOIN corpus o ON o.cluster_id = b.cluster_id
+        WHERE list_cosine_similarity(b.v, o.v) >= {SEM_TAU}
+    )
+    SELECT vec_id, min(dup_of) AS dup_of, arg_min(cos, dup_of) AS cos
+    FROM dup GROUP BY vec_id
+    """
+
+
+@register("q_dedup_embed_ingest", oracle=_embed_ingest_oracle)
+def q_dedup_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic-dedup INGEST — the batch-vs-corpus twin of
+    q_dedup_semantic (and the embedding twin of q_dedup_incremental's
+    text pipeline): an arriving batch (vec_id % 10 == 0, an
+    interleaved 10% slice standing in for the day's crawl) is checked
+    against the EXISTING corpus only; a new vector is a duplicate iff
+    some same-cluster corpus vector has cosine >= SEM_TAU. Output
+    (vec_id, dup_of, cos), dup_of = the smallest qualifying corpus id.
+
+    Scale shape: centroids and k come from the CORPUS side alone
+    (training must not see the batch, or yesterday's assignments
+    would shift); per-ingest work is batch-assignment (narrow Arrow
+    map) + ONE batch x corpus equi-join on cluster_id — work scales
+    with the BATCH, the corpus side streams from its stored
+    cluster-keyed layout, and batch-side broadcast applies when the
+    batch is small (AQE decides). No batch x batch comparison: intra-
+    batch dups fall out of the next day's run by the corpus growing —
+    or compose with q_dedup_semantic over the batch alone."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") > 0
+    ).select("vec_id", to_double_array("embedding").alias("v"))
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    n_corpus = corpus.count()
+    sample = np.array(
+        [
+            r["v"]
+            for r in corpus.orderBy("vec_id").limit(IVF_SAMPLE).collect()
+        ]
+    )
+    if sample.size == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, dup_of long, cos double"
+        )
+    cents = _ivf_train(sample, k=_sem_k(n_corpus))
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        # inlined fold — worker self-containment (see q_similarity_ivf)
+        c = cents_b.value
+        x = np.stack(vs.to_numpy())
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    b = batch.select(
+        nearest_list(F.col("v")).alias("cluster_id"), "vec_id", "v"
+    )
+    o = corpus.select(
+        nearest_list(F.col("v")).alias("cluster_id"),
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("ov"),
+    )
+    dup = (
+        b.join(o, "cluster_id")
+        .select(
+            "vec_id", "dup_of", cosine(F.col("v"), F.col("ov")).alias("cos")
+        )
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    return dup.groupBy("vec_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min_by("cos", "dup_of").alias("cos"),
+    )
