@@ -70,3 +70,55 @@ def test_semdedup_exact_twins(spark, tmp_path):
     assert set(out) == {3, 4}
     assert out[3]["kept_by"] == 0 and out[3]["cos"] >= 0.999
     assert out[4]["kept_by"] == 1 and out[4]["cos"] >= 0.999
+
+
+def test_bpe_encode_counts(spark, tmp_path):
+    """Corpus words [ab, ab, cd]: round 1 merges the most frequent
+    pair ('a b', count 2) making 'ab' one token; round 2 merges
+    'c d'; the census then runs dry and the trainer stops early —
+    encode must still work with fewer than BPE_ROUNDS merges. Every
+    word collapses to a single token."""
+    rows = [
+        (1, "en", "s1", 0, "ab ab"),
+        (2, "en", "s2", 0, "cd"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "bpe_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+    assert out[1]["n_words"] == 2 and out[1]["n_tokens"] == 2
+    assert out[2]["n_words"] == 1 and out[2]["n_tokens"] == 1
+
+
+def test_embed_ingest_finds_corpus_twin(spark, tmp_path):
+    """Batch = vec_id % 10 == 0. vec 10 is an exact twin of corpus
+    vec 3 -> dropped against it; vec 0 is orthogonal to the whole
+    corpus -> survives (absent from the dup report). Corpus of 5 ->
+    k=1, a single cluster, so the rule reduces to plain batch x
+    corpus cosine."""
+    dim = 8
+
+    def unit(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [(i, unit(i % dim)) for i in range(1, 6)]  # corpus 1..5
+    rows += [(0, unit(7)), (10, unit(3))]  # batch: orthogonal + twin of 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf_dir = str(tmp_path / "ingest_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["q_dedup_embed_ingest"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {10}
+    assert out[10]["dup_of"] == 3 and out[10]["cos"] >= 0.999
