@@ -95,6 +95,9 @@ _RECHECK: tuple[str, ...] = (
 # graph.py — files that register no queries themselves) are NOT seen by
 # the module-granularity detector: list their queries here explicitly.
 
+_CHANGED_MEMO: dict[str, set] = {}
+
+
 def _changed_since_checked(history: dict[str, int]) -> set[str]:
     """Names whose implementing module was modified in a LATER build
     round than the query's latest driver CORRECTNESS row (VERDICT r6
@@ -104,10 +107,17 @@ def _changed_since_checked(history: dict[str, int]) -> set[str]:
     with a query last checked in round R < M has changed since that
     query was last adjudicated. Uncommitted (dirty) modules count as
     modified in the current round. Degrades to the empty set on any git
-    failure — the static _RECHECK tuple still applies."""
+    failure — the static _RECHECK tuple still applies. Memoized per
+    process (the driver calls all_queries() once each for queries(),
+    oracle_sql(), and the window ordering — git state cannot change
+    between those calls)."""
     import os
     import re
     import subprocess
+
+    memo_key = repr(sorted(history.items()))
+    if memo_key in _CHANGED_MEMO:
+        return _CHANGED_MEMO[memo_key]
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -154,8 +164,10 @@ def _changed_since_checked(history: dict[str, int]) -> set[str]:
                 continue  # tier 1 handles never-checked
             if module_round(spec.fn.__module__) > checked:
                 changed.add(name)
+        _CHANGED_MEMO[memo_key] = changed
         return changed
     except Exception:
+        _CHANGED_MEMO[memo_key] = set()
         return set()
 
 
