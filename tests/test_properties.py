@@ -1096,3 +1096,68 @@ def test_substring_dedup_matches_model(spark, docs, tmp_path_factory):
         for r in q_dedup_substring(spark, sf_dir).collect()
     }
     assert got == want, (docs, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba"]),
+            min_size=0,
+            max_size=9,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    line_w=st.integers(1, 3),
+    min_docs=st.integers(1, 3),
+)
+def test_boilerplate_filter_matches_model(spark, docs, line_w, min_docs):
+    """boilerplate_filter (remove EVERY occurrence of any chunk seen in
+    >= min_docs DISTINCT documents) equals a pure-Python census model
+    keyed by chunk TEXT — asserting both the distinct-doc census rule
+    (a chunk repeated twice inside ONE doc has nd=1 and survives) and
+    that hashing the census key did not change which chunks are
+    removed. min_docs=1 removes everything (empty output); tiny word
+    alphabet forces heavy cross-document collisions; ragged tail
+    chunks are shorter than line_w."""
+    from collections import defaultdict
+
+    from confluent_example_firehose_spark.operators.boilerplate_queries import (
+        boilerplate_filter,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    chunks_by_doc = {}
+    census = defaultdict(set)
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        if not ws:
+            continue
+        chunks = [
+            " ".join(ws[p * line_w : (p + 1) * line_w])
+            for p in range((len(ws) + line_w - 1) // line_w)
+        ]
+        chunks_by_doc[doc_id] = chunks
+        for ch in chunks:
+            census[ch].add(doc_id)
+    want = {}
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [
+            p for p, ch in enumerate(chunks)
+            if len(census[ch]) < min_docs
+        ]
+        if kept:
+            want[doc_id] = (
+                len(chunks),
+                len(kept),
+                " ".join(chunks[p] for p in kept),
+            )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in boilerplate_filter(df, line_w, min_docs).collect()
+    }
+    assert got == want, (docs, line_w, min_docs, got, want)

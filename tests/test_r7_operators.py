@@ -122,3 +122,89 @@ def test_embed_ingest_finds_corpus_twin(spark, tmp_path):
     }
     assert set(out) == {10}
     assert out[10]["dup_of"] == 3 and out[10]["cos"] >= 0.999
+
+
+def test_boilerplate_removes_cross_doc_chunks(spark, tmp_path):
+    """W=10 chunks, BOILER_MIN=2 distinct docs. Chunk A opens docs 1,
+    2 and 3 -> boilerplate, removed everywhere; chunks B, C and the
+    3-word ragged tail are unique -> kept; doc 3 is PURE boilerplate
+    and must vanish from the output entirely."""
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    tail = "t0 t1 t2"
+    rows = [
+        (1, "en", "s1", 0, f"{a} {b} {tail}"),
+        (2, "en", "s2", 0, f"{a} {c}"),
+        (3, "en", "s1", 0, a),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "boiler_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_boilerplate"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == f"{b} {tail}"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == c
+
+
+def test_hybrid_rrf_fuses_hand_computed_lists(spark, tmp_path):
+    """5 docs, hand-computed BM25 and cosine lists. Lexical: only docs
+    1-3 contain query terms; doc1 (all three terms) > doc2 (spark x2)
+    > doc3 (merge x1). Dense vs q = e0 (vec_id 3's own embedding):
+    doc3 cos 1.0, doc4 cos 1.0 (tie -> doc_id), doc2 cos 0.6, docs
+    1/5 cos 0. RRF k=60 fuses to [3, 1, 2, 4, 5]; single-list docs
+    carry NULL for the missing rank."""
+    docs = [
+        (1, "en", "s1", 0, "spark vector merge"),
+        (2, "en", "s2", 0, "spark spark"),
+        (3, "en", "s1", 0, "merge"),
+        (4, "en", "s2", 0, "nothing here"),
+        (5, "en", "s1", 0, "filler words only"),
+    ]
+    dim = 4
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    embs = [
+        (1, vec(0, 1)),
+        (2, vec(0.6, 0.8)),
+        (3, vec(1)),  # the query vector (RRF_QUERY_VEC = 3)
+        (4, vec(1)),  # exact twin of the query
+        (5, vec(0, 0, 1)),
+    ]
+    sf_dir = str(tmp_path / "rrf_sf")
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    ).coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+
+    rows = all_queries()["q_hybrid_rrf"].fn(spark, sf_dir).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order == [3, 1, 2, 4, 5]
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[1]["lex_rank"] == 1 and by_doc[1]["dense_rank"] == 4
+    assert by_doc[2]["lex_rank"] == 2 and by_doc[2]["dense_rank"] == 3
+    assert by_doc[3]["lex_rank"] == 3 and by_doc[3]["dense_rank"] == 1
+    assert by_doc[4]["lex_rank"] is None and by_doc[4]["dense_rank"] == 2
+    assert by_doc[5]["lex_rank"] is None and by_doc[5]["dense_rank"] == 5
+    for r in rows:
+        want = sum(
+            1.0 / (60 + r[k])
+            for k in ("lex_rank", "dense_rank")
+            if r[k] is not None
+        )
+        assert abs(r["rrf"] - want) < 1e-12
