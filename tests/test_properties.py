@@ -1161,3 +1161,78 @@ def test_boilerplate_filter_matches_model(spark, docs, line_w, min_docs):
         for r in boilerplate_filter(df, line_w, min_docs).collect()
     }
     assert got == want, (docs, line_w, min_docs, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(
+                st.sampled_from(["a", "b", "ab", "ba"]),
+                min_size=0,
+                max_size=9,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_dsir_select_matches_model(spark, docs):
+    """dsir_select equals a pure-Python add-one-smoothed hashed-unigram
+    log-likelihood-ratio model (same md5 buckets, math.log) on every
+    pool doc's (weight, n_tokens) — with top >= n_docs so the law pins
+    the FORMULA while the top-k cutoff stays covered by the DuckDB
+    hash gate at three SFs. Empty pools, empty targets (every pool
+    bucket smoothed on the p side) and empty docs are all generated."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from confluent_example_firehose_spark.operators.dsir_queries import (
+        dsir_select,
+    )
+
+    B = 64
+    rows = [
+        (i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(docs)
+    ]
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % B
+
+    p_census = Counter()
+    q_census = Counter()
+    doc_tf = defaultdict(Counter)
+    for doc_id, lang, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        for t in ws:
+            b = bucket(t)
+            if lang == "en":
+                p_census[b] += 1
+            else:
+                q_census[b] += 1
+                doc_tf[doc_id][b] += 1
+    P, Q = sum(p_census.values()), sum(q_census.values())
+    want = {}
+    for doc_id, tfs in doc_tf.items():
+        w = sum(
+            tf
+            * math.log(
+                ((p_census.get(b, 0) + 1) * (Q + B))
+                / ((q_census[b] + 1) * (P + B))
+            )
+            for b, tf in tfs.items()
+        )
+        want[doc_id] = (w, sum(tfs.values()))
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["weight"], r["n_tokens"])
+        for r in dsir_select(df, "en", B, 1000).collect()
+    }
+    assert set(got) == set(want), (docs, got, want)
+    for doc_id, (w, n) in want.items():
+        gw, gn = got[doc_id]
+        assert gn == n and abs(gw - w) < 2e-6, (docs, doc_id, got, want)

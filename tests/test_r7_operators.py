@@ -208,3 +208,37 @@ def test_hybrid_rrf_fuses_hand_computed_lists(spark, tmp_path):
             if r[k] is not None
         )
         assert abs(r["rrf"] - want) < 1e-12
+
+
+def test_dsir_weights_hand_computed(spark, tmp_path):
+    """Target ('en') = 'a a b' (P=3); pool = doc 10 'a a a', doc 11
+    'b b', doc 12 'c' (Q=6). Buckets of a/b/c are distinct mod 512
+    (362/254/371). Add-one smoothed log-ratios: w(a)=ln(3*518/(4*515)),
+    w(b)=ln(2*518/(3*515)), w(c)=ln(518/(2*515)); doc weights 3*w(a) <
+    2*w(b) < w(c), so the ranking is [12, 11, 10] — smoothing rewards
+    the token the POOL has seen least, the documented DSIR behavior at
+    tiny counts."""
+    import math
+
+    rows = [
+        (1, "en", "s1", 0, "a a b"),
+        (10, "de", "s1", 0, "a a a"),
+        (11, "fr", "s2", 0, "b b"),
+        (12, "de", "s1", 0, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "dsir_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = all_queries()["q_dsir_sample"].fn(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in out] == [12, 11, 10]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    wa = math.log(3 * 518 / (4 * 515))
+    wb = math.log(2 * 518 / (3 * 515))
+    wc = math.log(518 / (2 * 515))
+    want = {10: (3 * wa, 3), 11: (2 * wb, 2), 12: (wc, 1)}
+    for r in out:
+        w, n = want[r["doc_id"]]
+        assert abs(r["weight"] - w) < 2e-6 and r["n_tokens"] == n
