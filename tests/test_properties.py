@@ -1236,3 +1236,53 @@ def test_dsir_select_matches_model(spark, docs):
     for doc_id, (w, n) in want.items():
         gw, gn = got[doc_id]
         assert gn == n and abs(gw - w) < 2e-6, (docs, doc_id, got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba"]),
+            min_size=0,
+            max_size=9,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    line_w=st.integers(1, 3),
+)
+def test_derep_text_matches_model(spark, docs, line_w):
+    """derep_text (keep the first occurrence of every chunk WITHIN a
+    doc) equals a per-doc seen-set walk — the intra-doc twin of the
+    line-dedup law, which also pins that array_distinct preserves
+    first-occurrence order. Other docs' content must never affect a
+    doc's output (the law's seen-set resets per doc)."""
+    from confluent_example_firehose_spark.operators.derep_queries import (
+        derep_text,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        if not ws:
+            continue
+        chunks = [
+            " ".join(ws[p * line_w : (p + 1) * line_w])
+            for p in range((len(ws) + line_w - 1) // line_w)
+        ]
+        seen = set()
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        want[doc_id] = (len(chunks), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in derep_text(df, line_w).collect()
+    }
+    assert got == want, (docs, line_w, got, want)

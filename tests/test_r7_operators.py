@@ -242,3 +242,30 @@ def test_dsir_weights_hand_computed(spark, tmp_path):
     for r in out:
         w, n = want[r["doc_id"]]
         assert abs(r["weight"] - w) < 2e-6 and r["n_tokens"] == n
+
+
+def test_derep_keeps_first_occurrence_within_doc(spark, tmp_path):
+    """W=2 chunks. doc 1 'x y x y z w x y' -> chunks [x y, x y, z w,
+    x y] -> kept [x y, z w]; doc 2 repeats doc 1's chunk but has no
+    internal repeats -> untouched (intra-doc rule must ignore other
+    docs); doc 3 single ragged word."""
+    rows = [
+        (1, "en", "s1", 0, "x y x y z w x y"),
+        (2, "en", "s2", 0, "x y q r"),
+        (3, "en", "s1", 0, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "derep_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_text_derep"].fn(spark, sf_dir).collect()
+    }
+    assert out[1]["n_chunks"] == 4 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "x y z w"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 2
+    assert out[2]["clean_text"] == "x y q r"
+    assert out[3]["n_chunks"] == 1 and out[3]["clean_text"] == "solo"
