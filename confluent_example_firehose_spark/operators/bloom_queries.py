@@ -1,0 +1,197 @@
+"""Mergeable Bloom-filter membership index over `documents`
+(SURVEY.md §2.B mergeable-sketch family: HLL + histogram quantiles +
+this — the three partial-aggregation sketches a 100 TB catalog
+needs).
+
+Per-source Bloom filters over document fingerprints, in RELATION form
+(a bitmap as its set of set-bit positions): built with one map-side-
+combined distinct, merged across sources by plain union-distinct (the
+OR of bitmaps), probed by a fixed 50-key query set (25 present
+fingerprints, 25 synthetic absent keys). The probe report carries the
+exact answer next to the sketch answer, so zero-false-negatives and
+the merge-inflates-FP-rate property are both VISIBLE in the output
+and hash-checked cross-engine. The hash family is engine-portable
+double hashing over portable_hash60 (dedup.py:91), so DuckDB rebuilds
+the exact same bit positions. Reference parity: the reference engine
+(/root/reference) has no index surface; this extends the build
+brief's mergeable-sketch mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import portable_hash60
+
+BLOOM_M = 32768  # bits per filter (2^15)
+BLOOM_K = 4  # hash functions (double hashing)
+BLOOM_PROBE_N = 25  # present probes (doc_id % 20 == 0) + as many absent
+
+_FP_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+_KEY_FP_SQL = _FP_SQL.replace("md5(text)", "md5(k.key_text)")
+
+
+def _positions(h: Column) -> Column:
+    """The BLOOM_K bit positions of a 60-bit key: double hashing
+    pos_i = (h + i * h2) % M with h2 = 2*(h >> 30) + 1 (odd stride).
+    Pure positive-integer arithmetic — identical in any engine."""
+    h2 = F.shiftright(h, 30) * 2 + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (h + i.cast("long") * h2) % BLOOM_M,
+    )
+
+
+_POS_SQL = (
+    f"list_transform(range({BLOOM_K}), i ->"
+    " (h + (i - 1) * ((h >> 30) * 2 + 1)) % 32768)"
+)
+# DuckDB range(n) unnested below instead — see oracle; kept here only
+# to document the shared formula.
+
+
+@register(
+    "q_bloom_probe",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+    ),
+    bit_src AS (
+        SELECT DISTINCT source,
+               (fp + i * ((fp >> 30) * 2 + 1)) % {BLOOM_M} AS pos
+        FROM d, (SELECT unnest(range({BLOOM_K})) AS i)
+    ),
+    bit_all AS (SELECT DISTINCT pos FROM bit_src),
+    probes AS (
+        SELECT doc_id AS probe_id, fp AS key FROM d
+        WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT -(i + 1) AS probe_id,
+               CAST(concat('0x', substr(md5(
+                   concat('bloom-absent-', CAST(i AS VARCHAR))), 1, 15))
+                   AS BIGINT) AS key
+        FROM (SELECT unnest(range({BLOOM_PROBE_N})) AS i)
+    ),
+    ppos AS (
+        SELECT DISTINCT probe_id, key,
+               (key + i * ((key >> 30) * 2 + 1)) % {BLOOM_M} AS pos
+        FROM probes, (SELECT unnest(range({BLOOM_K})) AS i)
+    ),
+    pn AS (
+        SELECT probe_id, key, count(*) AS np FROM ppos
+        GROUP BY probe_id, key
+    ),
+    maybe_src AS (
+        SELECT p.probe_id, b.source, count(*) AS nhit
+        FROM ppos p JOIN bit_src b USING (pos)
+        GROUP BY p.probe_id, b.source
+    ),
+    n_maybe AS (
+        SELECT m.probe_id, count(*) AS n_maybe_sources
+        FROM maybe_src m JOIN pn USING (probe_id)
+        WHERE m.nhit = pn.np GROUP BY m.probe_id
+    ),
+    ghit AS (
+        SELECT p.probe_id, count(*) AS nhit
+        FROM ppos p JOIN bit_all b USING (pos) GROUP BY p.probe_id
+    ),
+    n_present AS (
+        SELECT p.probe_id, count(DISTINCT d.source) AS n_present_sources
+        FROM probes p JOIN d ON d.fp = p.key GROUP BY p.probe_id
+    )
+    SELECT pn.probe_id,
+           coalesce(n_maybe.n_maybe_sources, 0) AS n_maybe_sources,
+           CAST(CASE WHEN coalesce(ghit.nhit, 0) = pn.np
+                THEN 1 ELSE 0 END AS BIGINT) AS global_maybe,
+           coalesce(n_present.n_present_sources, 0) AS n_present_sources
+    FROM pn
+    LEFT JOIN n_maybe USING (probe_id)
+    LEFT JOIN ghit USING (probe_id)
+    LEFT JOIN n_present USING (probe_id)
+    """,
+)
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-source Bloom filters over doc fingerprints, merge
+    them (union of set bits = OR of bitmaps), probe 25 present + 25
+    absent keys. Returns (probe_id, n_maybe_sources, global_maybe,
+    n_present_sources) — n_maybe >= n_present always (no false
+    negatives, asserted by tests), and global_maybe can exceed any
+    single source's verdict (merged filters trade FP rate for
+    mergeability).
+
+    Scale shape: the filter is a RELATION of (source, pos) rows —
+    at most sources x M rows regardless of corpus size — produced by
+    ONE distinct whose map-side combine collapses each partition's
+    duplicate bits before the exchange; the corpus is scanned once.
+    Probe positions (50 x 4 rows) broadcast into both membership
+    joins. The exact-answer join is fingerprint-keyed and
+    probe-bounded. At 100 TB this is the partition-skipping recipe:
+    per-bucket position sets stay tiny, merge by union, and a lookup
+    touches only buckets whose filter says maybe."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", portable_hash60(F.col("text")).alias("fp")
+    )
+    bit_src = (
+        d.select("source", F.explode(_positions(F.col("fp"))).alias("pos"))
+        .distinct()
+    )
+    bit_all = bit_src.select("pos").distinct()
+    present = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("fp").alias("key")
+    )
+    absent = spark.range(BLOOM_PROBE_N).select(
+        (-(F.col("id") + 1)).alias("probe_id"),
+        portable_hash60(
+            F.concat(F.lit("bloom-absent-"), F.col("id").cast("string"))
+        ).alias("key"),
+    )
+    probes = present.unionByName(absent)
+    ppos = probes.select(
+        "probe_id", "key", F.explode(_positions(F.col("key"))).alias("pos")
+    ).distinct()
+    pn = ppos.groupBy("probe_id", "key").agg(F.count("*").alias("np"))
+    maybe_src = (
+        F.broadcast(ppos)
+        .join(bit_src, "pos")
+        .groupBy("probe_id", "source")
+        .agg(F.count("*").alias("nhit"))
+    )
+    n_maybe = (
+        maybe_src.join(F.broadcast(pn), "probe_id")
+        .filter(F.col("nhit") == F.col("np"))
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_maybe_sources"))
+    )
+    ghit = (
+        F.broadcast(ppos)
+        .join(bit_all, "pos")
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("nhit"))
+    )
+    n_present = (
+        F.broadcast(probes)
+        .join(d, probes["key"] == d["fp"])
+        .groupBy("probe_id")
+        .agg(F.countDistinct("source").alias("n_present_sources"))
+    )
+    return (
+        pn.join(n_maybe, "probe_id", "left")
+        .join(ghit.withColumnRenamed("nhit", "gn"), "probe_id", "left")
+        .join(n_present, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_maybe_sources", F.lit(0)).alias(
+                "n_maybe_sources"
+            ),
+            F.when(F.coalesce("gn", F.lit(0)) == F.col("np"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("global_maybe"),
+            F.coalesce("n_present_sources", F.lit(0)).alias(
+                "n_present_sources"
+            ),
+        )
+    )

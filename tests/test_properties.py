@@ -1286,3 +1286,76 @@ def test_derep_text_matches_model(spark, docs, line_w):
         for r in derep_text(df, line_w).collect()
     }
     assert got == want, (docs, line_w, got, want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_bloom_probe_matches_model(spark, docs, tmp_path_factory):
+    """q_bloom_probe equals a pure-Python Bloom model (same md5
+    fingerprints, same double-hashing positions, per-source position
+    sets, merged union set) on arbitrary tiny corpora — including
+    duplicate texts across sources (n_present counts DISTINCT
+    sources) and the no-false-negative law n_maybe >= n_present."""
+    import hashlib
+
+    from confluent_example_firehose_spark.operators.bloom_queries import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_PROBE_N,
+    )
+    from confluent_example_firehose_spark.registry import all_queries
+
+    def fp(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    def pos(h):
+        h2 = (h >> 30) * 2 + 1
+        return {(h + i * h2) % BLOOM_M for i in range(BLOOM_K)}
+
+    rows = [
+        (i, "en", src, 0, text) for i, (src, text) in enumerate(docs)
+    ]
+    bit_src = {}
+    for _i, _l, src, _n, text in rows:
+        bit_src.setdefault(src, set()).update(pos(fp(text)))
+    bit_all = set().union(*bit_src.values())
+    probes = [(r[0], fp(r[4])) for r in rows if r[0] % 20 == 0]
+    probes += [
+        (-(i + 1), fp(f"bloom-absent-{i}")) for i in range(BLOOM_PROBE_N)
+    ]
+    want = {}
+    for pid, key in probes:
+        ps = pos(key)
+        n_maybe = sum(1 for s in bit_src.values() if ps <= s)
+        glob = 1 if ps <= bit_all else 0
+        n_present = len(
+            {r[2] for r in rows if fp(r[4]) == key}
+        )
+        want[pid] = (n_maybe, glob, n_present)
+
+    sf_dir = str(tmp_path_factory.mktemp("bloom_law"))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        sf_dir + "/documents.parquet"
+    )
+    got = {
+        r["probe_id"]: (
+            r["n_maybe_sources"], r["global_maybe"], r["n_present_sources"]
+        )
+        for r in all_queries()["q_bloom_probe"].fn(spark, sf_dir).collect()
+    }
+    assert got == want, (docs, got, want)
+    for nm, _g, np_ in got.values():
+        assert nm >= np_  # a Bloom filter never false-negatives

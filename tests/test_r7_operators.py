@@ -269,3 +269,26 @@ def test_derep_keeps_first_occurrence_within_doc(spark, tmp_path):
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 2
     assert out[2]["clean_text"] == "x y q r"
     assert out[3]["n_chunks"] == 1 and out[3]["clean_text"] == "solo"
+
+
+def test_bloom_probe_invariants_on_testdata(spark):
+    """On the real sf0.001 corpus: every present probe is claimed by
+    at least its own sources (no false negatives, per-source AND
+    merged); absent probes have n_present == 0; any single-source hit
+    implies the merged filter also hits (its bits are a subset of the
+    union)."""
+    from confluent_example_firehose_spark.registry import all_queries
+
+    rows = all_queries()["q_bloom_probe"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 25
+    for r in rows:
+        assert r["n_maybe_sources"] >= r["n_present_sources"]
+        if r["probe_id"] >= 0:
+            assert r["n_present_sources"] >= 1
+            assert r["global_maybe"] == 1
+        else:
+            assert r["n_present_sources"] == 0
+        if r["n_maybe_sources"] >= 1:
+            assert r["global_maybe"] == 1
