@@ -31,7 +31,6 @@ BLOOM_K = 4  # hash functions (double hashing)
 BLOOM_PROBE_N = 25  # present probes (doc_id % 20 == 0) + as many absent
 
 _FP_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
-_KEY_FP_SQL = _FP_SQL.replace("md5(text)", "md5(k.key_text)")
 
 
 def _positions(h: Column) -> Column:
@@ -43,14 +42,6 @@ def _positions(h: Column) -> Column:
         F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
         lambda i: (h + i.cast("long") * h2) % BLOOM_M,
     )
-
-
-_POS_SQL = (
-    f"list_transform(range({BLOOM_K}), i ->"
-    " (h + (i - 1) * ((h >> 30) * 2 + 1)) % 32768)"
-)
-# DuckDB range(n) unnested below instead — see oracle; kept here only
-# to document the shared formula.
 
 
 @register(

@@ -19,16 +19,12 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import portable_hash60, words
+from .ir_queries import _TOKS_SQL
 
 BOILER_W = 10  # words per "line" (corpus has no newlines; same
 #                granularity as q_dedup_lines' LINE_W)
 BOILER_MIN = 2  # a chunk seen in >= this many DISTINCT docs is
 #                boilerplate and is removed everywhere
-
-_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(lower(text),"
-    " '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
-)
 
 
 @register(

@@ -22,14 +22,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import words
+from .ir_queries import _TOKS_SQL
 
 DEREP_W = 2  # words per chunk (2 keeps ~36% of synthetic docs
 #              non-trivial; 3+ makes aligned repeats vanishingly rare)
-
-_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(lower(text),"
-    " '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
-)
 
 
 @register(

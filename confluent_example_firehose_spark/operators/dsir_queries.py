@@ -21,15 +21,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import portable_hash60, words
+from .ir_queries import _TOKS_SQL
 
 DSIR_B = 512  # hashed-feature buckets
 DSIR_TOP = 100  # selected docs (deterministic top-k resample)
 DSIR_TARGET_LANG = "en"  # the target-domain predicate
-
-_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(lower(text),"
-    " '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
-)
 
 
 @register(
@@ -113,27 +109,43 @@ def dsir_select(
     Pinned against a pure-Python model in tests/test_properties.py."""
     tb = d.select(
         "doc_id",
-        "lang",
+        (F.col("lang") == target_lang).alias("tgt"),
         F.explode(words("text")).alias("term"),
     ).select(
         "doc_id",
-        "lang",
+        "tgt",
         (portable_hash60(F.col("term")) % n_buckets).alias("b"),
     )
-    is_target = F.col("lang") == target_lang
+    # ONE corpus scan: every other table is a re-aggregation of this
+    # doc-level census (both per-lang censuses, both totals), so
+    # persist it — exchange reuse does NOT cover the branches because
+    # Catalyst pushes the tgt/~tgt filters through the aggregate into
+    # five differently-filtered scans (measured: 5 scans, 0
+    # ReusedExchange without the persist; plan-pinned in
+    # tests/test_plans_r7.py). Same persist-without-unpersist pattern
+    # as q_dedup_near's shingle table. Measured trade at sf0.1
+    # local[32] (SCALE.md): the persist costs ~0.9 s of cache
+    # materialization + serialization that the no-persist form hides
+    # by running its five tiny redundant scans in parallel — but the
+    # redundancy is 5x corpus TOKENIZATION at scale, which is the
+    # side of the trade that explodes at 100 TB.
+    tf_all = (
+        tb.groupBy("doc_id", "tgt", "b")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     p = (
-        tb.filter(is_target)
+        tf_all.filter(F.col("tgt"))
         .groupBy("b")
-        .agg(F.count("*").alias("pc"))
+        .agg(F.sum("tf").alias("pc"))
     )
-    q = (
-        tb.filter(~is_target)
-        .groupBy("b")
-        .agg(F.count("*").alias("qc"))
-    )
-    tot = tb.agg(
-        F.sum(is_target.cast("long")).alias("pt"),
-        F.sum((~is_target).cast("long")).alias("qt"),
+    tf = tf_all.filter(~F.col("tgt")).select("doc_id", "b", "tf")
+    q = tf.groupBy("b").agg(F.sum("tf").alias("qc"))
+    tot = (
+        p.agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("pt"))
+        .crossJoin(
+            q.agg(F.coalesce(F.sum("qc"), F.lit(0)).alias("qt"))
+        )
     )
     w = (
         q.join(F.broadcast(p), "b", "left")
@@ -150,11 +162,6 @@ def dsir_select(
                 )
             ).alias("w"),
         )
-    )
-    tf = (
-        tb.filter(~is_target)
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("tf"))
     )
     wt = (
         tf.join(F.broadcast(w), "b")

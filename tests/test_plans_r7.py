@@ -52,6 +52,11 @@ def test_dsir_censuses_broadcast(spark, sf_dir, fns):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # single-corpus-scan pin: every census branch reads the persisted
+    # doc-level census, not its own filtered re-scan (without the
+    # persist, filter pushdown through the aggregate made five
+    # differently-filtered parquet scans)
+    assert "InMemoryTableScan" in plan
 
 
 def _exchange_schemas(plan: str) -> str:
