@@ -169,8 +169,72 @@ def build_er() -> None:
     )
 
 
+TEXT_SKEW = "/tmp/sf0.01_skew_text"
+TEXT_DEFAULT = [
+    "q_text_boilerplate", "q_text_derep", "q_dsir_sample",
+    "q_bloom_probe", "q_hybrid_rrf", "q_dedup_lines",
+    "q_dedup_substring", "q_bpe_encode",
+]
+
+HOT_PHRASE = (
+    "the quick brown fox jumps over the lazy dog "
+    "the quick brown fox jumps over the lazy dog"
+)
+
+
+def build_text() -> None:
+    """Hot-document clone (r7): the text-pipeline twin of the hot-key
+    protocol. Every 5th doc's text becomes ONE fixed self-repeating
+    phrase — a mega-duplicated chunk that concentrates the boilerplate
+    census, the substring/line-dedup windows, the Bloom fingerprint
+    (~100 docs share one fp across every source) and the DSIR token
+    buckets on single hot keys — and every even doc flips to the DSIR
+    target language, skewing the target/pool split to ~60/40. The
+    oracle replays the same parquet, so every row is hash-adjudicated
+    under skew, exactly like the orders/events hot-key clone."""
+    if not os.path.isdir(TEXT_SKEW):
+        os.makedirs(TEXT_SKEW)
+        con = duckdb.connect()
+        src = f"{BASE}/documents.parquet"
+        con.execute(f"""
+        COPY (
+            SELECT * EXCLUDE (lang, text),
+                   CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE lang END
+                       AS lang,
+                   CASE WHEN doc_id % 5 = 0 THEN '{HOT_PHRASE}'
+                        ELSE text END AS text
+            FROM '{src}'
+        ) TO '{TEXT_SKEW}/documents.parquet' (FORMAT PARQUET)
+        """)
+        for t in TABLES:
+            if t != "documents":
+                os.symlink(f"{BASE}/{t}.parquet", f"{TEXT_SKEW}/{t}.parquet")
+        con.close()
+    con = duckdb.connect()
+    hot, en_share = con.execute(f"""
+        SELECT count(*) FILTER (text = '{HOT_PHRASE}'),
+               avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END)
+        FROM '{TEXT_SKEW}/documents.parquet'
+    """).fetchone()
+    con.close()
+    assert hot >= 50 and en_share > 0.5, (hot, en_share)
+    print(
+        f"text clone: {hot} docs share ONE hot text, "
+        f"{en_share:.0%} of the corpus is DSIR-target"
+    )
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if args and args[0] == "--text":
+        build_text()
+        cmd = [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "check_oracle.py"),
+            TEXT_SKEW,
+            *(args[1:] or TEXT_DEFAULT),
+        ]
+        return subprocess.call(cmd)
     if args and args[0] == "--er":
         build_er()
         cmd = [
