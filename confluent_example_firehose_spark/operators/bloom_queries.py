@@ -19,8 +19,15 @@ brief's mergeable-sketch mandate.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import tempfile
+import time
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
@@ -186,3 +193,114 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BLOOM_BATCHES = 4  # micro-batches for the incremental build
+
+
+@register(
+    "q_bloom_stream",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id % {BLOOM_BATCHES} AS b_id, {_FP_SQL} AS fp
+        FROM documents
+    ),
+    bits AS (
+        SELECT DISTINCT b_id,
+               (fp + i * ((fp >> 30) * 2 + 1)) % {BLOOM_M} AS pos
+        FROM d, (SELECT unnest(range({BLOOM_K})) AS i)
+    ),
+    firsts AS (SELECT pos, min(b_id) AS fb FROM bits GROUP BY pos),
+    nn AS (
+        SELECT fb AS batch_id, count(*) AS n_new FROM firsts GROUP BY fb
+    ),
+    all_b AS (
+        SELECT unnest(range({BLOOM_BATCHES})) AS batch_id
+    )
+    SELECT CAST(all_b.batch_id AS BIGINT) AS batch_id,
+           CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new_bits,
+           CAST(sum(coalesce(nn.n_new, 0)) OVER (
+               ORDER BY all_b.batch_id) AS BIGINT) AS n_cum_bits
+    FROM all_b LEFT JOIN nn USING (batch_id)
+    """,
+)
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Bloom maintenance in a stream: the documents table
+    arrives as BLOOM_BATCHES micro-batches (doc_id % BLOOM_BATCHES,
+    file-stream twin of a Kafka ingest); each foreachBatch epoch
+    computes the batch's set-bit positions and MERGES them into a
+    persistent filter state (append + distinct — bitmap OR as a
+    relation), the dedup-at-ingest sketch a 100 TB pipeline maintains.
+    Returns (batch_id, n_new_bits, n_cum_bits) per epoch.
+
+    Hash-checked mergeability law: because Bloom merge is associative
+    AND commutative, the cumulative bit counts are a pure function of
+    the batch PARTITION (min-batch census in the oracle), independent
+    of how the stream interleaved rows inside each epoch — the same
+    determinism argument as q_microbatch_flush's row-total invariant,
+    but for sketch STATE rather than row delivery. Batch order itself
+    is pinned by ascending staged mtimes (FileStreamSource orders by
+    modification time — streaming/pipeline.py:81-86).
+
+    Scale shape: per-epoch work is one batch scan + a distinct whose
+    output is bounded by M bits; the state relation never exceeds M
+    rows no matter how many epochs merge into it, so the incremental
+    build costs the same as the batch build, paid as you ingest."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", portable_hash60(F.col("text")).alias("fp")
+    )
+    root = tempfile.mkdtemp(prefix="bloom_stream_")
+    stage = os.path.join(root, "in")
+    state = os.path.join(root, "state")
+    os.makedirs(stage)
+    for k in range(BLOOM_BATCHES):
+        tmp = os.path.join(root, f"tmp{k}")
+        d.filter(F.col("doc_id") % BLOOM_BATCHES == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"b{k}.parquet"))
+    base = time.time()
+    for k in range(BLOOM_BATCHES):
+        p = os.path.join(stage, f"b{k}.parquet")
+        os.utime(p, (base + k, base + k))
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    log: list[tuple[int, int]] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        bits = batch_df.select(
+            F.explode(_positions(F.col("fp"))).alias("pos")
+        ).distinct()
+        bits.write.mode("append").parquet(state)
+        n_cum = (
+            batch_df.sparkSession.read.parquet(state)
+            .select("pos")
+            .distinct()
+            .count()
+        )
+        log.append((len(log), n_cum))
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_new_bits", T.LongType()),
+            T.StructField("n_cum_bits", T.LongType()),
+        ]
+    )
+    rows = [
+        (b, cum - (log[i - 1][1] if i else 0), cum)
+        for i, (b, cum) in enumerate(log)
+    ]
+    return spark.createDataFrame(rows, schema)

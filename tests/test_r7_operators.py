@@ -292,3 +292,48 @@ def test_bloom_probe_invariants_on_testdata(spark):
             assert r["n_present_sources"] == 0
         if r["n_maybe_sources"] >= 1:
             assert r["global_maybe"] == 1
+
+
+def test_bloom_stream_merge_invariants(spark, tmp_path):
+    """4-batch incremental build on a hand-built corpus: batch 1
+    (doc 5) duplicates batch 0's text (doc 0), so epoch 1 adds ZERO
+    new bits; cumulative counts are nondecreasing and the final total
+    equals the batch-built filter's distinct-bit count (merge ==
+    batch, THE mergeability law)."""
+    import hashlib
+
+    from confluent_example_firehose_spark.operators.bloom_queries import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+    from confluent_example_firehose_spark.registry import all_queries
+
+    rows = [
+        (0, "en", "s1", 0, "alpha beta"),
+        (5, "en", "s2", 0, "alpha beta"),  # batch 1 == batch 0's text
+        (2, "en", "s1", 0, "gamma delta"),
+        (3, "en", "s2", 0, "epsilon zeta"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    sf_dir = str(tmp_path / "bstream_sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = sorted(
+        all_queries()["q_bloom_stream"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in out] == [0, 1, 2, 3]
+    assert out[1]["n_new_bits"] == 0  # duplicate text adds nothing
+    cums = [r["n_cum_bits"] for r in out]
+    assert cums == sorted(cums)
+
+    def pos(text):
+        h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        h2 = (h >> 30) * 2 + 1
+        return {(h + i * h2) % BLOOM_M for i in range(BLOOM_K)}
+
+    batch_built = set().union(*(pos(r[4]) for r in rows))
+    assert cums[-1] == len(batch_built)
+    assert sum(r["n_new_bits"] for r in out) == cums[-1]
