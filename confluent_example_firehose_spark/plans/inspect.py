@@ -156,3 +156,38 @@ def session_shuffle_totals(spark) -> dict[str, int]:
         "shuffle_records": sr,
         "spill_bytes": sp,
     }
+
+
+def session_shuffle_stages(
+    spark,
+) -> dict[tuple[int, int], tuple[int, int, int]]:
+    """Per-stage (shuffle_bytes, shuffle_records, spill_bytes) keyed
+    by (stage_id, attempt_id) — the eviction-proof form of
+    session_shuffle_totals: the AppStatusStore retains a BOUNDED
+    number of stages (spark.ui.retainedStages), so in a long shared
+    session cumulative totals can DECREASE when old stages are
+    evicted between two snapshots (observed in the r7 sign-off after
+    ~1000 test stages). Diffing stage-key SETS instead of totals
+    charges a query exactly its own new stages regardless of what the
+    store forgot. The audits (tools/shuffle_audit.py --session-delta)
+    run in dedicated short sessions where totals are safe; use this
+    form when the session is long-lived."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    seq = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    out: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for i in range(seq.size()):
+        s = seq.apply(i)
+        out[(s.stageId(), s.attemptId())] = (
+            s.shuffleWriteBytes(),
+            s.shuffleWriteRecords(),
+            s.diskBytesSpilled() + s.memoryBytesSpilled(),
+        )
+    return out

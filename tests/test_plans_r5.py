@@ -206,18 +206,25 @@ def test_arrow_udf_uses_arrow_eval_path(spark, sf_dir, fns):
 
 
 def test_session_shuffle_totals_delta(spark, sf_dir):
-    """session_shuffle_totals must report monotone cumulative stage
-    totals whose delta around a shuffling action is nonzero — the
-    contract the --session-delta audit (and iterative-operator
-    accounting) rests on."""
+    """The session-delta instrument must charge a shuffling action its
+    own nonzero stages. Asserted on the per-stage form
+    (session_shuffle_stages): in this long shared test session the
+    AppStatusStore evicts old stages (spark.ui.retainedStages), so
+    raw cumulative totals can legally DECREASE between snapshots —
+    the r7 sign-off caught exactly that once the suite crossed ~1000
+    stages. Stage-key set diffs are eviction-proof; the audits that
+    subtract totals run in dedicated short sessions."""
     from confluent_example_firehose_spark.catalog import load_table
     from confluent_example_firehose_spark.plans.inspect import (
+        session_shuffle_stages,
         session_shuffle_totals,
     )
     from pyspark.sql import functions as F
 
-    before = session_shuffle_totals(spark)
-    assert set(before) == {"shuffle_bytes", "shuffle_records", "spill_bytes"}
+    totals = session_shuffle_totals(spark)
+    assert set(totals) == {"shuffle_bytes", "shuffle_records", "spill_bytes"}
+    assert all(v >= 0 for v in totals.values())
+    before = session_shuffle_stages(spark)
     (
         load_table(spark, sf_dir, "events")
         .repartition("event_type")
@@ -225,7 +232,8 @@ def test_session_shuffle_totals_delta(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    after = session_shuffle_totals(spark)
-    assert after["shuffle_bytes"] > before["shuffle_bytes"]
-    assert after["shuffle_records"] > before["shuffle_records"]
-    assert after["spill_bytes"] >= before["spill_bytes"]
+    after = session_shuffle_stages(spark)
+    new = {k: v for k, v in after.items() if k not in before}
+    assert new, "the action produced no new stages"
+    assert sum(v[0] for v in new.values()) > 0  # its shuffle bytes
+    assert sum(v[1] for v in new.values()) > 0  # its shuffle records
