@@ -37,7 +37,12 @@ BLOOM_M = 32768  # bits per filter (2^15)
 BLOOM_K = 4  # hash functions (double hashing)
 BLOOM_PROBE_N = 25  # present probes (doc_id % 20 == 0) + as many absent
 
-_FP_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+# NULL-propagating form ('||', not concat): DuckDB's concat() IGNORES
+# null arguments, so md5(NULL) would yield the unparseable literal
+# '0x' instead of NULL — found by the drift probe's NULL-text doc.
+# Docs without text carry no fingerprint and are excluded on both
+# engines below.
+_FP_SQL = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
 
 
 def _positions(h: Column) -> Column:
@@ -56,6 +61,7 @@ def _positions(h: Column) -> Column:
     oracle=f"""
     WITH d AS (
         SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+        WHERE text IS NOT NULL
     ),
     bit_src AS (
         SELECT DISTINCT source,
@@ -129,8 +135,12 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-bounded. At 100 TB this is the partition-skipping recipe:
     per-bucket position sets stay tiny, merge by union, and a lookup
     touches only buckets whose filter says maybe."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", portable_hash60(F.col("text")).alias("fp")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", portable_hash60(F.col("text")).alias("fp")
+        )
     )
     bit_src = (
         d.select("source", F.explode(_positions(F.col("fp"))).alias("pos"))
@@ -203,7 +213,7 @@ BLOOM_BATCHES = 4  # micro-batches for the incremental build
     oracle=f"""
     WITH d AS (
         SELECT doc_id % {BLOOM_BATCHES} AS b_id, {_FP_SQL} AS fp
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     bits AS (
         SELECT DISTINCT b_id,
@@ -246,8 +256,10 @@ def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is bounded by M bits; the state relation never exceeds M
     rows no matter how many epochs merge into it, so the incremental
     build costs the same as the batch build, paid as you ingest."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", portable_hash60(F.col("text")).alias("fp")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", portable_hash60(F.col("text")).alias("fp"))
     )
     root = tempfile.mkdtemp(prefix="bloom_stream_")
     stage = os.path.join(root, "in")
