@@ -64,3 +64,13 @@ def _exchange_schemas(plan: str) -> str:
     return "\n".join(
         line for line in plan.splitlines() if "Exchange" in line
     )
+
+
+def test_bloom_probe_filter_stays_relation_sized(spark, sf_dir, fns):
+    plan = _plan(fns, "q_bloom_probe", spark, sf_dir)
+    # probe sides broadcast into the membership joins; no cartesian
+    # anywhere; the per-source bit census partial-aggregates (map-side
+    # combine) below its exchange
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") >= 1
