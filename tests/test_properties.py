@@ -1359,3 +1359,48 @@ def test_bloom_probe_matches_model(spark, docs, tmp_path_factory):
     assert got == want, (docs, got, want)
     for nm, _g, np_ in got.values():
         assert nm >= np_  # a Bloom filter never false-negatives
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(raw_edges=_graph_edges, rounds=st.integers(1, 3))
+def test_lpa_communities_matches_model(spark, raw_edges, rounds):
+    """lpa_communities equals a pure-Python synchronous LPA model
+    (per-node neighbor-label vote, most-frequent-wins, ties to the
+    MINIMUM label) on arbitrary small symmetrized graphs — the full
+    community census compared, not just top-k (topk > node count).
+    Covers self-loops, multi-edges (symmetrization dedups nothing,
+    so a doubled edge votes twice in BOTH engines) and label
+    coalescing across rounds."""
+    from collections import Counter, defaultdict
+
+    from confluent_example_firehose_spark.operators.community_queries import (
+        lpa_communities,
+    )
+
+    if not raw_edges:
+        return
+    sym = raw_edges + [(b, a) for a, b in raw_edges]
+    neigh = defaultdict(list)
+    for a, b in sym:
+        neigh[a].append(b)
+    labels = {v: v for v in neigh}
+    for _ in range(rounds):
+        new = {}
+        for v in neigh:
+            votes = Counter(labels[u] for u in neigh[v])
+            new[v] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    want_census = Counter(labels.values())
+    want = sorted(
+        ((n, lbl) for lbl, n in want_census.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+
+    df = _edges_df(spark, sym, "src long, dst long")
+    got_rows = sorted(
+        lpa_communities(df, rounds, 1000).collect(),
+        key=lambda r: r["rank"],
+    )
+    got = [(r["n_nodes"], r["community"]) for r in got_rows]
+    assert got == want, (raw_edges, rounds, got, want)
