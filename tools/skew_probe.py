@@ -44,6 +44,7 @@ DEFAULT = [
     # orders consumers (hot customer / graph super-node)
     "q_graph_bfs", "q_graph_pagerank", "q_graph_sssp",
     "q_graph_trustrank", "q_graph_kcore", "q_graph_triangles",
+    "q_graph_lpa",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_join_inner", "q_join_salted", "q_yoy_growth",
     # events consumers (hot user / giant session key)
@@ -172,8 +173,8 @@ def build_er() -> None:
 TEXT_SKEW = "/tmp/sf0.01_skew_text"
 TEXT_DEFAULT = [
     "q_text_boilerplate", "q_text_derep", "q_dsir_sample",
-    "q_bloom_probe", "q_hybrid_rrf", "q_dedup_lines",
-    "q_dedup_substring", "q_bpe_encode",
+    "q_bloom_probe", "q_bloom_stream", "q_hybrid_rrf",
+    "q_dedup_lines", "q_dedup_substring", "q_bpe_encode",
 ]
 
 HOT_PHRASE = (
