@@ -74,8 +74,8 @@ def _positions(h: Column) -> Column:
         WHERE doc_id % 20 = 0
         UNION ALL
         SELECT -(i + 1) AS probe_id,
-               CAST(concat('0x', substr(md5(
-                   concat('bloom-absent-', CAST(i AS VARCHAR))), 1, 15))
+               CAST('0x' || substr(md5(
+                   'bloom-absent-' || CAST(i AS VARCHAR)), 1, 15)
                    AS BIGINT) AS key
         FROM (SELECT unnest(range({BLOOM_PROBE_N})) AS i)
     ),

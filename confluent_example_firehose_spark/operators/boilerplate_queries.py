@@ -41,9 +41,9 @@ BOILER_MIN = 2  # a chunk seen in >= this many DISTINCT docs is
     ),
     ch AS (
         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               CAST(concat('0x', substr(md5(array_to_string(
+               CAST('0x' || substr(md5(array_to_string(
                    ws[pos * {BOILER_W} + 1 : pos * {BOILER_W} + {BOILER_W}],
-                   ' ')), 1, 15)) AS BIGINT) AS h
+                   ' ')), 1, 15) AS BIGINT) AS h
         FROM ex
     ),
     census AS (

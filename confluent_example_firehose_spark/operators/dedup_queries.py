@@ -214,8 +214,8 @@ def _simhash_pairs_oracle(radius: int) -> str:
     sh AS (
         SELECT doc_id,
                list_distinct(
-                   [CAST(concat('0x',
-                        substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+                   [CAST('0x' ||
+                        substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15)
                         AS BIGINT)
                     for i in range(1, len(ws) - 1)]) AS hs
         FROM w WHERE len(ws) >= 3
@@ -665,7 +665,7 @@ LINE_W = 10  # words per dedup "line" (the corpus has no newlines)
     kept AS (
         SELECT doc_id, pos, chunk FROM ch
         QUALIFY row_number() OVER (
-            PARTITION BY CAST(concat('0x', substr(md5(chunk), 1, 15))
+            PARTITION BY CAST('0x' || substr(md5(chunk), 1, 15)
                               AS BIGINT)
             ORDER BY doc_id, pos) = 1
     )
@@ -781,9 +781,9 @@ SUB_W = 8  # words per sliding duplicate-detection window
     ),
     win AS (
         SELECT doc_id,
-               CAST(concat('0x', substr(md5(
+               CAST('0x' || substr(md5(
                    array_to_string(ws[pos + 1 : pos + {SUB_W}], ' ')
-               ), 1, 15)) AS BIGINT) AS h
+               ), 1, 15) AS BIGINT) AS h
         FROM (SELECT doc_id, ws,
                      unnest(range(len(ws) - {SUB_W} + 1)) AS pos
               FROM w WHERE len(ws) >= {SUB_W})

@@ -33,7 +33,7 @@ DSIR_TARGET_LANG = "en"  # the target-domain predicate
     oracle=f"""
     WITH tb AS (
         SELECT doc_id, lang,
-               CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
                    % {DSIR_B} AS b
         FROM (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term
               FROM documents)
@@ -67,7 +67,7 @@ DSIR_TARGET_LANG = "en"  # the target-domain predicate
     ),
     wt AS (
         SELECT doc_id, round(sum(tf * w.w), 6) AS weight,
-               sum(tf) AS n_tokens
+               CAST(sum(tf) AS BIGINT) AS n_tokens
         FROM tf JOIN w USING (b) GROUP BY doc_id
     )
     SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)

@@ -324,7 +324,7 @@ def test_portable_hash60_matches_duckdb(spark, texts):
     con = duckdb.connect()
     for i, t in enumerate(texts):
         want = con.execute(
-            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)",
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)",
             [t],
         ).fetchone()[0]
         assert got[i] == want, (t, got[i], want)

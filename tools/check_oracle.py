@@ -46,6 +46,68 @@ def table_hash(rows, cols) -> str:
     return h.hexdigest()[:16]
 
 
+# Spark/DuckDB type families that must agree per output column: the
+# driver hash stringifies via pandas, so a family mismatch (HUGEINT vs
+# BIGINT, DECIMAL vs DOUBLE) diverges even on bit-identical values —
+# the r7 q_dsir_sample failure mode.  Width differences inside a
+# family (INT vs BIGINT) stringify identically and are fine.
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("string", "varchar"):
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date":
+        return "date"
+    if s == "boolean":
+        return "bool"
+    if s == "binary":
+        return "binary"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("map"):
+        return "map"
+    if s.startswith("struct"):
+        return "struct"
+    return s
+
+
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if t.startswith(("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                     "USMALLINT", "UTINYINT")):
+        return "forbidden-int"  # never family-equal to Spark
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "string"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "binary"
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith("MAP"):
+        return "map"
+    if t.startswith("STRUCT"):
+        return "struct"
+    return t
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # callable oracles (data-dependent literals) must read the SAME
@@ -90,6 +152,21 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         else:
+            # structural dtype-parity gate (r7 q_dsir_sample class):
+            # DESCRIBE binds without re-executing the oracle
+            try:
+                ofam = {
+                    c: _duck_family(t)
+                    for c, t, *_ in con.execute("DESCRIBE " + osql).fetchall()
+                }
+                sfam = {f.name: _spark_family(f.dataType) for f in sdf.schema}
+                for c in sorted(scols):
+                    if sfam[c] != ofam[c]:
+                        problems.append(
+                            f"dtype-family[{c}]: spark={sfam[c]} duck={ofam[c]}"
+                        )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"dtype-describe error: {e}")
             sh = table_hash([tuple(r) for r in srows], scols)
             oh = table_hash(orows, ocols)
             if sh != oh:
