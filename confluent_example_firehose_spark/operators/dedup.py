@@ -444,7 +444,15 @@ def bucket_pairs_refined(
     block) decides each row's route; both routes are the same single
     bucket shuffle as bucket_pairs. Distinct-union of the two pair
     sets (a block can't be in both routes, but a pair of ids can meet
-    in several blocks when bucket_cols come from multi-banding)."""
+    in several blocks when bucket_cols come from multi-banding).
+
+    The refined route is STRICT (ADVICE r7): a sub-block that still
+    exceeds max_bucket after adding `secondary` raises instead of
+    being silently dropped — a silent second-level drop both loses
+    recall invisibly and diverges from the q_entity_resolution oracle,
+    which keeps every same-secondary pair. A caller hitting the raise
+    must refine further (another secondary) or raise the cap; the
+    guard costs one scalar comparison per sub-block row."""
     # No broadcast hint on sizes: one row per BLOCK is unbounded at
     # corpus scale (millions of blocks at 100 TB); the equi-join on
     # bucket_cols co-partitions with the groupBy that produced it, and
@@ -454,5 +462,14 @@ def bucket_pairs_refined(
     small = routed.filter(F.col("_bn") <= max_bucket).drop("_bn")
     big = routed.filter(F.col("_bn") > max_bucket).drop("_bn")
     pairs_small = bucket_pairs(small, bucket_cols, max_bucket)
-    pairs_big = bucket_pairs(big, bucket_cols + [secondary], max_bucket)
+    pairs_big = bucket_pairs(
+        big,
+        bucket_cols + [secondary],
+        max_bucket,
+        strict_msg=(
+            "entity-resolution refinement contract violated: a "
+            f"sub-block still exceeds the cap after refining on "
+            f"'{secondary}'; refine further or raise max_bucket"
+        ),
+    )
     return pairs_small.unionByName(pairs_big).distinct()

@@ -63,29 +63,36 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r7 (VERDICT r6 item 1): the 13 queries whose code was reshaped
-    # late in r6 AFTER their last driver check (r5 or earlier) — the
-    # driver row is the ground truth, so changed code outranks
-    # merely-stale unchanged code. All were locally oracle-verified at
-    # sf0.01 after the reshapes (judge re-ran them too: 15/15 pass),
-    # but the r7 window must confirm.
-    "q_graph_bfs",
-    "q_graph_sssp",
-    "q_graph_kcore",
-    "q_graph_pagerank",
-    "q_graph_trustrank",
-    "q_dedup_clusters",
-    "q_dedup_canonical",
+    # r8 item 1: THE r7 red cell — oracle output dtype fixed
+    # (CAST(sum(tf) AS BIGINT), dsir_queries.py). Must re-green first.
+    # Tier 2b can NOT be trusted to surface it: its stalest-first sort
+    # puts r7-checked queries behind the 45-deep r3/r4 changed backlog.
+    "q_dsir_sample",
+    # r8 (VERDICT r7 item 3): the five conservative rechecks the 11
+    # r7-new queries displaced past the r7 window — all last
+    # driver-checked r3, code functionally unchanged since their r3
+    # green, all green in the full r7 local sign-off. After these land
+    # every query's latest driver check is <=2 rounds old or
+    # change-triggered.
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_udtf",
+    "q_pandas_udaf",
+    # r8 (VERDICT r7 item 4): the queries whose ORACLES were swept from
+    # NULL-swallowing concat('0x', ...) to || this round — output-
+    # identical on non-null text (verified at sf0.01 locally), but an
+    # oracle edit warrants a driver row under the new SQL.
+    "q_dedup_near",
+    "q_dedup_substring",
     "q_dedup_lines",
-    "q_bpe_merges",
-    "q_quality_repetition",
-    "q_robust_stats",
-    "q_stream_join_outer",
-    "q_hll_mergeable",
-    # r6-changed-output stragglers the r6 window couldn't hold
-    # (round-ops memory): tau retune + the one stale r2 row.
-    "q_dedup_source_matrix",
-    "q_doc_fingerprint",
+    "q_text_boilerplate",
+    "q_bloom_probe",
+    "q_bloom_stream",
+    # r8 (ADVICE r7 item 1): ER over-cap sub-block handling changed in
+    # the dedup kernel (strict refinement guard) — kernel files
+    # register no queries, so 2b's module detector can't see it.
+    "q_entity_resolution",
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
 # (VERDICT r6 item 2) — queries whose implementing MODULE has a git
@@ -140,10 +147,22 @@ def _changed_since_checked(history: dict[str, int]) -> set[str]:
                 rnd = int(m.group(1)) + 1
         current_round = rnd
 
-        dirty = {
-            ln[3:].strip()
-            for ln in git("status", "--porcelain").splitlines()
-        }
+        # NUL-separated porcelain: no quoting/escaping ambiguity, and
+        # rename/copy records carry the ORIGINAL path as a second
+        # NUL-separated field ("XY new\0old\0") — mark both names dirty
+        # so a renamed-dirty module still auto-promotes its queries.
+        dirty: set[str] = set()
+        fields = git("status", "--porcelain", "-z").split("\0")
+        i = 0
+        while i < len(fields):
+            rec = fields[i]
+            i += 1
+            if len(rec) < 4:
+                continue
+            dirty.add(rec[3:])
+            if rec[0] in "RC" and i < len(fields) and fields[i]:
+                dirty.add(fields[i])
+                i += 1
 
         mod_round: dict[str, int] = {}  # module name -> round of last edit
 

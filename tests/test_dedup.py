@@ -187,8 +187,8 @@ def test_bucket_pairs_refined_splits_instead_of_dropping(spark):
     dropped = bucket_pairs(banded, ["b"], max_bucket=5).count()
     assert dropped == 0  # the cap silently loses everything
     # refinement splits the 10-block into two parity sub-blocks of 5,
-    # each under the cap (a sub-block still over cap stays dropped —
-    # refinement is one level; pick a finer secondary in that case)
+    # each under the cap (a sub-block STILL over cap raises — pinned
+    # by test_bucket_pairs_refined_raises_on_over_cap_sub_block)
     refined = bucket_pairs_refined(banded, ["b"], "sec", max_bucket=5)
     got = {(r["id_a"], r["id_b"]) for r in refined.collect()}
     # two sub-blocks of 5 (even/odd ids) -> C(5,2) * 2 = 20 pairs,
@@ -216,6 +216,26 @@ def test_bucket_pairs_refined_noop_under_cap(spark):
         ).collect()
     }
     assert base == ref
+
+
+def test_bucket_pairs_refined_raises_on_over_cap_sub_block(spark):
+    """ADVICE r7: a refined sub-block that still exceeds max_bucket
+    must RAISE, not silently drop — the silent drop both loses recall
+    invisibly and diverges from the q_entity_resolution oracle, which
+    keeps every same-secondary pair in an over-cap block."""
+    import pytest
+
+    from confluent_example_firehose_spark.operators.dedup import (
+        bucket_pairs_refined,
+    )
+
+    # one block of 12, all with the SAME secondary value: refinement
+    # can't split it, so the sub-block (size 12) stays over cap 5
+    rows = [(i, "blk", 0) for i in range(12)]
+    banded = spark.createDataFrame(rows, ["_id", "b", "sec"])
+    refined = bucket_pairs_refined(banded, ["b"], "sec", max_bucket=5)
+    with pytest.raises(Exception, match="refinement contract violated"):
+        refined.collect()
 
 
 def test_simhash_strict_guard_raises_on_over_cap(spark):
