@@ -44,6 +44,21 @@ HEADLINE = [
 ]
 
 
+# Single-thread reference speed: the box measured ~150 ms on this spin
+# when BENCH_r06's 7.86 s was recorded — the yardstick every normalized
+# total is expressed against (VERDICT r7 item 5).
+SPIN_REF_MS = 150.0
+
+
+def _spin_ms() -> float:
+    """Fixed pure-Python spin: absolute single-thread speed canary."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +87,7 @@ def main() -> None:
     # q_dedup_near 22.6 s cold vs 2.4 s steady-state in one session).
     # The timed pass below still pays ALL per-run work (scan, shuffle,
     # persist) at the target SF — only JVM warmup is excluded.
+    spin_before = _spin_ms()
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
@@ -129,20 +145,27 @@ def main() -> None:
         pass
     # Single-thread speed canary (r7): loadavg alone missed a ~1.6x
     # box-wide slowdown burst (every query uniformly slower at loadavg
-    # ~2). A fixed pure-Python spin gives an absolute per-round yard-
-    # stick: compare spin_ms across BENCH_r*.json before reading any
-    # total as a code regression.
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc += i
-    env["spin_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+    # ~2). Sampled BEFORE the warmup pass and again here (r8): the box
+    # drifts within one bench run, and a cold/loaded recording is
+    # otherwise indistinguishable from a code regression (BENCH_r07's
+    # 16.37 s was a 2.08x line on unchanged code at spin ~198-280 vs
+    # r6's ~150). spin_ms keeps the r7 meaning (the post-run sample).
+    spin_after = _spin_ms()
+    env["spin_ms_before"] = spin_before
+    env["spin_ms"] = spin_after
+    spin_mean = (spin_before + spin_after) / 2 or SPIN_REF_MS
+    # Self-normalizing line (VERDICT r7 item 5): the recorded JSON
+    # carries its own box-drift correction — value scaled to what the
+    # same run would measure at the r6-reference single-thread speed.
+    value_norm = round(total * SPIN_REF_MS / spin_mean, 4)
 
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
+                "value_canary_normalized": value_norm,
+                "canary_ref_ms": SPIN_REF_MS,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

@@ -73,8 +73,24 @@ def lint_module(path: str) -> list[str]:
             self.stack: list[ast.FunctionDef] = []
 
         def visit_FunctionDef(self, node: ast.FunctionDef):
-            nested = bool(self.stack)
-            if nested and self._worker_bound(node):
+            # ADVICE r7: module-level defs (empty stack) are checked
+            # too — a module-level pandas_udf's wrapped fn is pickled
+            # with its module-global reads resolved by reference, the
+            # exact failure mode this lint guards against in nested fns.
+            if self._worker_bound(node):
+                if not self.stack and not any(
+                    _decorator_name(d) in UDF_DECORATORS
+                    for d in node.decorator_list
+                ):
+                    # undecorated module-level fn passed to a ship-call:
+                    # its module qualname still resolves to itself, so
+                    # cloudpickle ships the WHOLE fn by reference
+                    problems.append(
+                        f"{os.path.relpath(path, ROOT)}:{node.lineno} "
+                        f"module-level `{node.name}` passed to a "
+                        f"ship-call — pickled by reference, breaks "
+                        f"non-repo-cwd workers; nest it in the caller"
+                    )
                 self._check(node)
             self.stack.append(node)
             self.generic_visit(node)
@@ -89,7 +105,8 @@ def lint_module(path: str) -> list[str]:
             ):
                 return True
             # passed by name to a ship-call anywhere in the parent
-            parent = self.stack[-1]
+            # (or, for a module-level def, anywhere in the module)
+            parent = self.stack[-1] if self.stack else tree
             for call in ast.walk(parent):
                 if (
                     isinstance(call, ast.Call)
