@@ -526,8 +526,10 @@ def test_pigeonhole_recall_and_soundness_property(spark, fps):
 def test_bucket_pairs_refined_matches_model(spark, rows, cap):
     """bucket_pairs_refined's documented semantics as a law: blocks
     within the cap pair fully; over-cap blocks re-pair within
-    (block, secondary) sub-blocks (sub-blocks still over the cap drop,
-    like bucket_pairs); result is the distinct union."""
+    (block, secondary) sub-blocks; a sub-block STILL over the cap
+    RAISES (ADVICE r7 — the pre-r8 silent drop lost recall invisibly
+    and diverged from the q_entity_resolution oracle); result is the
+    distinct union."""
     from collections import defaultdict
 
     from confluent_example_firehose_spark.operators.dedup import (
@@ -535,16 +537,11 @@ def test_bucket_pairs_refined_matches_model(spark, rows, cap):
     )
 
     df = spark.createDataFrame(rows, "_id long, blk long, sec long")
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in bucket_pairs_refined(
-            df, ["blk"], "sec", max_bucket=cap
-        ).collect()
-    }
     by_block = defaultdict(list)
     for i, blk, sec in rows:
         by_block[blk].append((i, sec))
     want = set()
+    must_raise = False
     for members in by_block.values():
         groups = (
             [[i for i, _ in members]]
@@ -556,6 +553,7 @@ def test_bucket_pairs_refined_matches_model(spark, rows, cap):
         )
         for g in groups:
             if len(g) > cap:
+                must_raise = True
                 continue
             g = sorted(g)
             want.update(
@@ -563,6 +561,12 @@ def test_bucket_pairs_refined_matches_model(spark, rows, cap):
                 for x in range(len(g))
                 for y in range(x + 1, len(g))
             )
+    result = bucket_pairs_refined(df, ["blk"], "sec", max_bucket=cap)
+    if must_raise:
+        with pytest.raises(Exception, match="refinement contract"):
+            result.collect()
+        return
+    got = {(r["id_a"], r["id_b"]) for r in result.collect()}
     assert got == want
 
 
