@@ -175,6 +175,11 @@ TEXT_DEFAULT = [
     "q_text_boilerplate", "q_text_derep", "q_dsir_sample",
     "q_bloom_probe", "q_bloom_stream", "q_hybrid_rrf",
     "q_dedup_lines", "q_dedup_substring", "q_bpe_encode",
+    # r8 text consumers: hot phrase concentrates the CMS heavy hitter,
+    # flips NB class balance (lang flip), shifts the blocklist token
+    # mix, and skews the unimax per-source availability
+    "q_cms_topk", "q_text_blocklist", "q_nb_classify",
+    "q_unimax_budget",
 ]
 
 HOT_PHRASE = (
