@@ -59,6 +59,28 @@ def _spin_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _spin_worker(_):
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    return acc
+
+
+def _spin_par_ms(procs: int = 8) -> float:
+    """Wall time for `procs` concurrent spins (separate processes).
+    On an uncontended box this tracks the single-thread spin; under
+    noisy-neighbor contention it inflates far more — the r8 failure
+    mode the 1-thread canary under-measured (spin 204→286 ms while
+    the 32-thread bench total tripled). Compare spin_par/spin across
+    rounds to separate CPU-speed drift from parallel contention."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(procs) as pool:
+        pool.map(_spin_worker, range(procs))
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,6 +175,7 @@ def main() -> None:
     spin_after = _spin_ms()
     env["spin_ms_before"] = spin_before
     env["spin_ms"] = spin_after
+    env["spin_par_ms"] = _spin_par_ms()
     spin_mean = (spin_before + spin_after) / 2 or SPIN_REF_MS
     # Self-normalizing line (VERDICT r7 item 5): the recorded JSON
     # carries its own box-drift correction — value scaled to what the
