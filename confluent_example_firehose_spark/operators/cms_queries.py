@@ -138,3 +138,136 @@ def cms_sketch(census: DataFrame) -> DataFrame:
         .groupBy("rp.r", "rp.pos")
         .agg(F.sum("cnt").alias("c"))
     )
+
+
+CMS_BATCHES = 4  # micro-batches for the incremental build
+
+
+@register(
+    "q_cms_stream",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id % {CMS_BATCHES} AS b_id, unnest({_TOKS_SQL}) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    census AS (
+        SELECT b_id, term, count(*) AS cnt FROM d GROUP BY b_id, term
+    ),
+    hh AS (
+        SELECT b_id, term, cnt,
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+        FROM census
+    ),
+    cells AS (
+        SELECT DISTINCT b_id, i AS r,
+               (h + i * ((h >> 30) * 2 + 1)) % {CMS_W} AS pos
+        FROM hh, (SELECT unnest(range({CMS_D})) AS i)
+    ),
+    firsts AS (SELECT r, pos, min(b_id) AS fb FROM cells GROUP BY r, pos),
+    nn AS (
+        SELECT fb AS batch_id, count(*) AS n_new FROM firsts GROUP BY fb
+    ),
+    tk AS (SELECT b_id AS batch_id, count(*) AS t FROM d GROUP BY b_id),
+    all_b AS (SELECT unnest(range({CMS_BATCHES})) AS batch_id)
+    SELECT CAST(all_b.batch_id AS BIGINT) AS batch_id,
+           CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new_cells,
+           CAST(sum(coalesce(nn.n_new, 0)) OVER (
+               ORDER BY all_b.batch_id) AS BIGINT) AS n_cells_cum,
+           CAST({CMS_D} * sum(coalesce(tk.t, 0)) OVER (
+               ORDER BY all_b.batch_id) AS BIGINT) AS cell_mass_cum
+    FROM all_b
+    LEFT JOIN nn USING (batch_id)
+    LEFT JOIN tk USING (batch_id)
+    """,
+)
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CMS maintenance in a stream — the frequency-sketch
+    twin of q_bloom_stream: the documents table arrives as CMS_BATCHES
+    micro-batches (doc_id % CMS_BATCHES file-stream twin of a Kafka
+    ingest); each foreachBatch epoch sketches ITS batch (token census
+    -> cells) and MERGES the cells into persistent sketch state
+    (append; cell-wise sum on read — the CMS merge law). Returns per
+    epoch (batch_id, n_new_cells, n_cells_cum, cell_mass_cum) where
+    cell_mass_cum = sum of all cell counts = CMS_D x tokens ingested.
+
+    Hash-checked mergeability law: CMS merge is associative AND
+    commutative (cell-wise integer sum), so the cumulative occupancy
+    and mass are pure functions of the batch PARTITION (min-batch /
+    prefix-sum censuses in the oracle) regardless of how rows
+    interleaved inside each epoch — the q_bloom_stream argument for
+    counts instead of bits. Scale shape: per-epoch work is one batch
+    scan + a vocabulary-bounded census; the state relation never
+    exceeds CMS_D x CMS_W rows after compaction (bounded at ANY corpus
+    size), so incremental build costs what the batch build costs,
+    paid as you ingest."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import types as T
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(words("text")).alias("term"))
+    )
+    root = tempfile.mkdtemp(prefix="cms_stream_")
+    try:
+        stage = os.path.join(root, "in")
+        state = os.path.join(root, "state")
+        os.makedirs(stage)
+        for k in range(CMS_BATCHES):
+            tmp = os.path.join(root, f"tmp{k}")
+            d.filter(F.col("doc_id") % CMS_BATCHES == k).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"b{k}.parquet"))
+        base = time.time()
+        for k in range(CMS_BATCHES):
+            p = os.path.join(stage, f"b{k}.parquet")
+            os.utime(p, (base + k, base + k))
+
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, int]] = []
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            cells = cms_sketch(
+                batch_df.groupBy("term").agg(F.count("*").alias("cnt"))
+            )
+            cells.write.mode("append").parquet(state)
+            st = batch_df.sparkSession.read.parquet(state)
+            agg = st.agg(
+                F.countDistinct("r", "pos").alias("nc"),
+                F.sum("c").alias("mass"),
+            ).first()
+            log.append((len(log), agg["nc"], agg["mass"]))
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_new_cells", T.LongType()),
+            T.StructField("n_cells_cum", T.LongType()),
+            T.StructField("cell_mass_cum", T.LongType()),
+        ]
+    )
+    rows = [
+        (b, nc - (log[i - 1][1] if i else 0), nc, mass)
+        for i, (b, nc, mass) in enumerate(log)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -179,7 +179,7 @@ TEXT_DEFAULT = [
     # flips NB class balance (lang flip), shifts the blocklist token
     # mix, and skews the unimax per-source availability
     "q_cms_topk", "q_text_blocklist", "q_nb_classify",
-    "q_unimax_budget",
+    "q_unimax_budget", "q_cms_stream",
 ]
 
 HOT_PHRASE = (
