@@ -102,6 +102,14 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(words("text")).alias("term"))
     )
     s = tok.groupBy("source").agg(F.count("*").alias("avail"))
+    return waterfill(s, BUDGET_DIV)
+
+
+def waterfill(s: DataFrame, budget_div: int) -> DataFrame:
+    """Water-filling kernel over a (source, avail) frame with budget =
+    sum(avail) div budget_div. Output-identical extraction of the
+    query body (pinned against a pure-Python water-filler on arbitrary
+    availability maps in tests/test_properties.py)."""
     w = W.orderBy("avail", "source")
     o = s.select(
         "source",
@@ -113,7 +121,7 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = s.agg(
         F.count("*").alias("n"),
-        F.expr(f"sum(avail) div {BUDGET_DIV}").alias("budget"),
+        F.expr(f"sum(avail) div {budget_div}").alias("budget"),
     )
     sat = o.crossJoin(F.broadcast(nb)).withColumn(
         "is_sat",

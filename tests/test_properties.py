@@ -4,7 +4,8 @@ against independent in-memory models on arbitrary small inputs."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+import pytest
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -523,6 +524,8 @@ def test_pigeonhole_recall_and_soundness_property(spark, fps):
     ),
     cap=st.integers(2, 4),
 )
+@example(rows=[(i, 0, 0) for i in range(6)], cap=2)  # forces the raise
+@example(rows=[(i, 0, i % 2) for i in range(6)], cap=3)  # clean split
 def test_bucket_pairs_refined_matches_model(spark, rows, cap):
     """bucket_pairs_refined's documented semantics as a law: blocks
     within the cap pair fully; over-cap blocks re-pair within
@@ -1408,3 +1411,94 @@ def test_lpa_communities_matches_model(spark, raw_edges, rounds):
     )
     got = [(r["n_nodes"], r["community"]) for r in got_rows]
     assert got == want, (raw_edges, rounds, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    avail=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(1, 200),
+        min_size=1,
+        max_size=8,
+    ),
+    div=st.integers(1, 4),
+)
+def test_waterfill_matches_model(spark, avail, div):
+    """22nd law (r8): the UniMax water-fill kernel equals an
+    independent pure-Python water-filler on arbitrary availability
+    maps — saturate smallest-first, split the remainder into equal
+    integer shares, +1 remainder to the first sources in (avail,
+    source) order; sum(allocated) == budget exactly."""
+    from confluent_example_firehose_spark.operators.budget_queries import (
+        waterfill,
+    )
+
+    s = spark.createDataFrame(
+        list(avail.items()), "source string, avail long"
+    )
+    got = {
+        r["source"]: (r["allocated"], r["saturated"])
+        for r in waterfill(s, div).collect()
+    }
+    budget = sum(avail.values()) // div
+    order = sorted(avail, key=lambda k: (avail[k], k))
+    want, remaining, left = {}, budget, len(order)
+    for i, src in enumerate(order):
+        if avail[src] * left <= remaining:
+            want[src] = (avail[src], 1)
+            remaining -= avail[src]
+            left -= 1
+        else:
+            base, rem = divmod(remaining, left)
+            for j, other in enumerate(order[i:]):
+                want[other] = (base + 1 if j < rem else base, 0)
+            break
+    assert got == want, (avail, div, got, want)
+    assert sum(a for a, _ in got.values()) == budget
+
+
+@settings(**_SETTINGS)
+@given(
+    terms=st.lists(
+        st.text(alphabet="xyz", min_size=1, max_size=2),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cms_never_underestimates_model(spark, terms):
+    """23rd law (r8): CMS point estimates (min over rows of the cell
+    counts) are >= the exact count for EVERY term of an arbitrary
+    token stream, and equal when no cell collides — replayed against
+    a pure-Python sketch built with the same double-hash family."""
+    from collections import Counter
+
+    from confluent_example_firehose_spark.operators.cms_queries import (
+        CMS_D,
+        CMS_W,
+        cms_sketch,
+    )
+
+    census_py = Counter(terms)
+    # independent model: python md5-based portable hash + double hash
+    import hashlib
+
+    def cells(t):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        h2 = (h >> 30) * 2 + 1
+        return [(r, (h + r * h2) % CMS_W) for r in range(CMS_D)]
+
+    sketch_py = Counter()
+    for t, c in census_py.items():
+        for cell in cells(t):
+            sketch_py[cell] += c
+
+    census = spark.createDataFrame(
+        list(census_py.items()), "term string, cnt long"
+    )
+    got = {
+        (r["r"], r["pos"]): r["c"] for r in cms_sketch(census).collect()
+    }
+    assert got == dict(sketch_py), (terms, got, sketch_py)
+    for t, c in census_py.items():
+        est = min(got[cell] for cell in cells(t))
+        assert est >= c
