@@ -20,7 +20,17 @@ from ..registry import register
 
 
 def _tmp(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=prefix)
+    """Sink->scan round-trip workdir, removed at process exit (the
+    r8 hygiene sweep): every query here returns a frame that READS
+    the files it just wrote, so the dir must outlive any collect —
+    atexit is the earliest safe point. Previously never removed:
+    ~1.8k dirs / ~0.9 GB had accumulated in /tmp across gate runs."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @register(

@@ -208,6 +208,11 @@ def q_pysource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(FirehoseGenStream)
     stream = spark.readStream.format("firehose_gen_stream").load()
     root = tempfile.mkdtemp(prefix="firehose_pysrc_")
+    # checkpoint-only dir; removed at process exit (r8 hygiene sweep)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     name = "t" + uuid.uuid4().hex[:12]
     q = (
         stream.writeStream.outputMode("append")

@@ -19,9 +19,11 @@ check. The pattern was proven by q_sink_foreachbatch in r4.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import os
 import re
+import shutil
 import tempfile
 import uuid
 
@@ -49,7 +51,16 @@ _STAGED: dict[str, str] = {}
 
 
 def _workdir() -> str:
-    return tempfile.mkdtemp(prefix="firehose_stream_")
+    """Per-invocation checkpoint/staging dir, removed at process exit
+    (ADVICE r7 hygiene, extended from the bloom fix): several queries
+    return frames that read parquet written UNDER this dir, so it must
+    outlive every possible collect — atexit is the earliest safe
+    point. Each bench rerun / oracle gate / test run is its own
+    process, so nothing accumulates across invocations any more
+    (previously ~130 leaked dirs per full-gate session)."""
+    d = tempfile.mkdtemp(prefix="firehose_stream_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @contextlib.contextmanager
@@ -70,9 +81,9 @@ def _few_partitions(spark: SparkSession, n: int = 8):
 def _staged_events(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
     events_dir = _STAGED.get(sf_dir)
     if events_dir is None:
-        events_dir = os.path.join(
-            tempfile.mkdtemp(prefix="firehose_staged_"), "events"
-        )
+        staged_root = tempfile.mkdtemp(prefix="firehose_staged_")
+        atexit.register(shutil.rmtree, staged_root, ignore_errors=True)
+        events_dir = os.path.join(staged_root, "events")
         stage_event_files(spark, sf_dir, events_dir, _N_FILES)
         _STAGED[sf_dir] = events_dir
     return file_event_stream(spark, events_dir)
