@@ -63,36 +63,36 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r8 item 1: THE r7 red cell — oracle output dtype fixed
-    # (CAST(sum(tf) AS BIGINT), dsir_queries.py). Must re-green first.
-    # Tier 2b can NOT be trusted to surface it: its stalest-first sort
-    # puts r7-checked queries behind the 45-deep r3/r4 changed backlog.
-    "q_dsir_sample",
-    # r8 (VERDICT r7 item 3): the five conservative rechecks the 11
-    # r7-new queries displaced past the r7 window — all last
-    # driver-checked r3, code functionally unchanged since their r3
-    # green, all green in the full r7 local sign-off. After these land
-    # every query's latest driver check is <=2 rounds old or
-    # change-triggered.
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_udtf",
-    "q_pandas_udaf",
-    # r8 (VERDICT r7 item 4): the queries whose ORACLES were swept from
-    # NULL-swallowing concat('0x', ...) to || this round — output-
-    # identical on non-null text (verified at sf0.01 locally), but an
-    # oracle edit warrants a driver row under the new SQL.
-    "q_dedup_near",
-    "q_dedup_substring",
-    "q_dedup_lines",
-    "q_text_boilerplate",
-    "q_bloom_probe",
-    "q_bloom_stream",
-    # r8 (ADVICE r7 item 1): ER over-cap sub-block handling changed in
-    # the dedup kernel (strict refinement guard) — kernel files
-    # register no queries, so 2b's module detector can't see it.
-    "q_entity_resolution",
+    # r9 (ADVICE r8 item 2): q_cms_stream's per-epoch mass aggregate
+    # gained F.coalesce(..., 0) for the empty-first-batch edge — a
+    # behavior-affecting edit (at filtered/tiny SFs) that must
+    # re-adjudicate under the new code. Tier 2b can NOT be trusted to
+    # surface it: its stalest-first sort puts r8-checked queries at the
+    # back of the 39-deep changed backlog.
+    "q_cms_stream",
+    # r9 (VERDICT r8 item 4): the multimodal fake feature kernel was
+    # vectorized (numpy frombuffer batch ops replacing the per-row byte
+    # loop, multimodal.py) — output-identical by construction (verified
+    # at sf0.01+sf0.001 locally), but multimodal.py is a KERNEL file
+    # that registers no queries, so 2b's module detector can't see it.
+    "q_multimodal_features",
+    # r9 (VERDICT r8 item 1): the judge's explicit rotation priority —
+    # every UNCHANGED-stale row with latest check r5 or older. These
+    # are tier-3 rows the 52-deep 2b changed backlog would displace for
+    # yet another round; forcing them here makes "no green older than
+    # r5 after r9" true. The displaced 2b tail (6 r5-changed + 4
+    # r6-changed entries) rolls to r10 — changed-but-locally-reverified
+    # beats never-rotated in the staleness ledger.
+    "q_window_session",  # r3
+    "q_window_sliding",  # r3
+    "q_tpch_q12",  # r4
+    "q_ts_anomaly",  # r4
+    "q_ts_downsample",  # r4
+    "q_ts_ewma",  # r4
+    "q_ts_rate",  # r4
+    "q_ts_resample",  # r4
+    "q_arrow_udf",  # r5
+    "q_funnel",  # r5
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
 # (VERDICT r6 item 2) — queries whose implementing MODULE has a git
