@@ -72,13 +72,20 @@ def _spin_par_ms(procs: int = 8) -> float:
     noisy-neighbor contention it inflates far more — the r8 failure
     mode the 1-thread canary under-measured (spin 204→286 ms while
     the 32-thread bench total tripled). Compare spin_par/spin across
-    rounds to separate CPU-speed drift from parallel contention."""
+    rounds to separate CPU-speed drift from parallel contention.
+
+    Spawn, not fork: this runs in a process hosting a live JVM/py4j
+    and its helper threads — fork-with-threads is undefined-behavior
+    territory (ADVICE r8). The workers are self-contained module-level
+    functions, so spawn's re-import is cheap; the timed region is the
+    map, after the pool is up."""
     import multiprocessing as mp
 
-    t0 = time.perf_counter()
-    with mp.get_context("fork").Pool(procs) as pool:
+    with mp.get_context("spawn").Pool(procs) as pool:
+        pool.map(_spin_worker, range(procs))  # warm: absorb spawn cost
+        t0 = time.perf_counter()
         pool.map(_spin_worker, range(procs))
-    return round((time.perf_counter() - t0) * 1000, 1)
+        return round((time.perf_counter() - t0) * 1000, 1)
 
 
 def main() -> None:

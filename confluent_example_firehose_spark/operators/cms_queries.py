@@ -243,9 +243,13 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cells.write.mode("append").parquet(state)
             st = batch_df.sparkSession.read.parquet(state)
+            # coalesce: an empty epoch (a doc_id residue class with no
+            # docs at a filtered/tiny SF) leaves the state empty, and
+            # sum() over zero rows is NULL where the oracle's
+            # coalesce(..., 0) says 0 (ADVICE r8).
             agg = st.agg(
                 F.countDistinct("r", "pos").alias("nc"),
-                F.sum("c").alias("mass"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("mass"),
             ).first()
             log.append((len(log), agg["nc"], agg["mass"]))
 

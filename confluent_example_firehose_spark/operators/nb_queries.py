@@ -13,10 +13,10 @@ ln((cnt(c,t) + 1) / (tot_c + V)). Every ln argument is a quotient of
 EXACT int64 counts cast to double (lossless: all counts < 2^53), so
 both engines feed ln identical IEEE doubles — the q_text_bm25 /
 q_dsir_sample determinism argument; per-doc-class sums are rounded to
-6 dp (association-order error ~1e-13, seven orders below the
-rounding) and the argmax runs on the ROUNDED scores with a
-lexicographic tie-break, so the prediction is a pure function of
-hash-checked values. Reference parity: the reference engine
+NB_ROUND (4) dp (see the constant's comment for why 6 is unsafe here)
+and the argmax runs on the ROUNDED scores with a lexicographic
+tie-break, so the prediction is a pure function of hash-checked
+values. Reference parity: the reference engine
 (/root/reference) has no model surface; this extends the build
 brief's text-analysis mandate.
 """
@@ -88,8 +88,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train multinomial NB (lang label, unigram features, add-one
     smoothing) on `documents` and classify every document with it.
     Returns (doc_id, actual_lang, pred_lang, score, is_correct) —
-    prediction = argmax over classes of the 6-dp-rounded score, ties
-    to the lexicographically smallest class.
+    prediction = argmax over classes of the NB_ROUND (4) dp rounded
+    score, ties to the lexicographically smallest class.
 
     Scale shape: the model is aggregation-sized — the (class, term)
     census and its grid against the class list are vocabulary x
@@ -100,8 +100,9 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax is a map-side-combinable min(struct(-score, class)) —
     no window over the corpus. Cross-engine determinism: every ln
     argument is a quotient of exact int64 counts (lossless double
-    casts on both sides), sums round at 6 dp with ~1e-13 association
-    error, and the argmax consumes only rounded values."""
+    casts on both sides), sums round at NB_ROUND (4) dp — a ~400x
+    margin over the summation error where 6 dp measured only ~5x —
+    and the argmax consumes only rounded values."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
