@@ -1,0 +1,333 @@
+"""Streaming maintenance twins for the remaining two mergeable
+sketches — HLL distinct counts and the fixed-bin quantile histogram —
+completing the incremental-maintenance story q_bloom_stream and
+q_cms_stream started (SURVEY.md §2.B mergeable-sketch family; VERDICT
+r8 item 2). The reference engine's whole premise is incremental state
+maintenance over a micro-batched ingest
+(`AbstractPrometheusFirehose.java:41-51` keyed last-value state,
+`AbstractFirehose.java:107-131` micro-batch boundaries); these are its
+sketch-state analogues: each foreachBatch epoch sketches ITS batch and
+merges into persistent state, so the incremental build costs what the
+batch build costs, paid as you ingest.
+
+Shared shape with the Bloom/CMS twins: the events table arrives as
+SK_BATCHES micro-batches (event_id % SK_BATCHES, the file-stream twin
+of a Kafka ingest), state lives in RELATION form (sketch rows appended
+per epoch; merge applied on read), and the hash-checked output pins a
+merge LAW the DuckDB oracle can replay exactly — not the sketch's
+implementation-defined internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..registry import register
+from .index_queries import QH_BIN_CENTS
+
+SK_BATCHES = 4  # micro-batches, matching BLOOM_BATCHES / CMS_BATCHES
+
+
+def _stage_event_batches(
+    df: DataFrame, root: str, n_batches: int
+) -> str:
+    """Write df as n_batches single-file parquet batches keyed by
+    event_id % n_batches, mtime-ordered so a maxFilesPerTrigger=1 file
+    stream replays them as ordered epochs (the q_cms_stream staging
+    shape). Returns the stage directory."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    stage = os.path.join(root, "in")
+    os.makedirs(stage)
+    for k in range(n_batches):
+        tmp = os.path.join(root, f"tmp{k}")
+        df.filter(F.col("event_id") % n_batches == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"b{k}.parquet"))
+    base = time.time()
+    for k in range(n_batches):
+        p = os.path.join(stage, f"b{k}.parquet")
+        os.utime(p, (base + k, base + k))
+    return stage
+
+
+@register(
+    "q_hll_stream",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, event_id % {SK_BATCHES} AS b_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    firsts AS (SELECT user_id, min(b_id) AS fb FROM d GROUP BY user_id),
+    nn AS (
+        SELECT fb AS batch_id, count(*) AS n_new FROM firsts GROUP BY fb
+    ),
+    all_b AS (SELECT unnest(range({SK_BATCHES})) AS batch_id)
+    SELECT CAST(all_b.batch_id AS BIGINT) AS batch_id,
+           CAST(sum(coalesce(nn.n_new, 0)) OVER (
+               ORDER BY all_b.batch_id) AS BIGINT) AS n_exact_cum,
+           true AS merge_consistent,
+           true AS est_within_5pct
+    FROM all_b LEFT JOIN nn USING (batch_id)
+    """,
+)
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL distinct-count maintenance in a stream — the
+    cardinality twin of q_bloom_stream: each foreachBatch epoch builds
+    the batch's HLL sketch of user_id and APPENDS it to persistent
+    sketch state (one sketch row per epoch; merge = hll_union_agg on
+    read — the HLL merge law). Returns per epoch (batch_id,
+    n_exact_cum, merge_consistent, est_within_5pct).
+
+    The sketch estimate is implementation-defined (Datasketches
+    register promotion, see q_hll_mergeable), so the hash-checked
+    output pins the q_hll_mergeable invariants per PREFIX instead:
+    (a) merge consistency — the union of the per-epoch sketches
+    estimates what one direct sketch over the ingested prefix
+    estimates, within 5% of exact; the direct sketch is built from an
+    exact-audit relation of distinct user_ids (legitimate stand-in:
+    HLL register content is max-of-hashes, so the sketch of a
+    deduplicated set estimates exactly what the multiset's sketch
+    estimates — pinned by tests/test_sketch_stream.py; serialized
+    bytes differ in sparse mode, estimates don't). (b) the
+    direct estimate lands within 5% of the exact prefix cardinality.
+    The exact cumulative counts themselves are a pure function of the
+    batch PARTITION (min-batch census in the oracle), the
+    q_bloom_stream determinism argument.
+
+    Scale shape: per-epoch work is one batch scan + a constant-size
+    sketch aggregation; sketch state is ONE register array per epoch
+    (mergeable forever, never rescans history). The exact-audit
+    relation is the naive distinct-union twin the sketch REPLACES at
+    100 TB — it exists so the law is checkable at test scale, and the
+    docstring's 5% envelope is what you'd monitor instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    root = tempfile.mkdtemp(prefix="hll_stream_")
+    try:
+        stage = _stage_event_batches(ev, root, SK_BATCHES)
+        state = os.path.join(root, "state")
+        audit = os.path.join(root, "audit")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, bool, bool]] = []
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            batch_df.agg(
+                F.hll_sketch_agg("user_id").alias("sk")
+            ).filter(F.col("sk").isNotNull()).write.mode(
+                "append"
+            ).parquet(state)
+            batch_df.select("user_id").distinct().write.mode(
+                "append"
+            ).parquet(audit)
+            est_merged = (
+                s.read.parquet(state)
+                .agg(
+                    F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                        "e"
+                    )
+                )
+                .first()["e"]
+                or 0
+            )
+            seen = s.read.parquet(audit).distinct()
+            row = seen.agg(
+                F.countDistinct("user_id").alias("n"),
+                F.coalesce(
+                    F.hll_sketch_estimate(
+                        F.hll_sketch_agg("user_id")
+                    ),
+                    F.lit(0),
+                ).alias("e"),
+            ).first()
+            n_exact, est_direct = row["n"], row["e"]
+            log.append(
+                (
+                    len(log),
+                    n_exact,
+                    abs(est_merged - est_direct) <= 0.05 * n_exact,
+                    abs(est_direct - n_exact) <= 0.05 * n_exact,
+                )
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_exact_cum", T.LongType()),
+            T.StructField("merge_consistent", T.BooleanType()),
+            T.StructField("est_within_5pct", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)
+
+
+@register(
+    "q_quantile_stream",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_id % {SK_BATCHES} AS b_id,
+               CAST(round(value * 100) AS BIGINT) // {QH_BIN_CENTS}
+                   AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    census AS (SELECT b_id, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
+    all_b AS (SELECT unnest(range({SK_BATCHES})) AS batch_id),
+    cum_census AS (
+        SELECT a.batch_id, c.bin, CAST(sum(c.cnt) AS BIGINT) AS cnt
+        FROM all_b a JOIN census c ON c.b_id <= a.batch_id
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT batch_id, bin,
+               CAST(sum(cnt) OVER (PARTITION BY batch_id ORDER BY bin)
+                    AS BIGINT) AS c,
+               CAST(sum(cnt) OVER (PARTITION BY batch_id) AS BIGINT)
+                   AS n
+        FROM cum_census
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(max(n) AS BIGINT) AS n_cum,
+           CAST(min(CASE WHEN 2 * c >= n THEN bin END)
+                * {QH_BIN_CENTS} AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN 10 * c >= 9 * n THEN bin END)
+                * {QH_BIN_CENTS} AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN 100 * c >= 99 * n THEN bin END)
+                * {QH_BIN_CENTS} AS BIGINT) AS p99_cents
+    FROM w GROUP BY batch_id
+    """,
+)
+def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile maintenance in a stream — the percentile
+    twin of q_cms_stream: each foreachBatch epoch bins its batch's
+    values into the q_quantile_mergeable fixed-cent histogram and
+    APPENDS the (bin, cnt) census to persistent state (merge = count
+    addition on read — the histogram merge law), then reports the
+    running p50/p90/p99 over everything ingested so far. Returns per
+    epoch (batch_id, n_cum, p50_cents, p90_cents, p99_cents).
+
+    Hash-checked mergeability law: histogram merge is associative AND
+    commutative integer addition, so the running percentiles are a
+    pure function of the batch PARTITION (prefix-cumulative census in
+    the oracle) regardless of row interleaving inside each epoch. All
+    arithmetic is integer-exact (bin = cents div {QH_BIN_CENTS}; rank
+    crossings 2c >= n / 10c >= 9n / 100c >= 99n), so the estimates
+    agree cross-engine bit-for-bit; error vs the true percentile is
+    bounded by one bin width by construction. Batches are dense by
+    construction (event_id % {SK_BATCHES} over a dense id domain), so
+    every prefix is non-empty.
+
+    Scale shape: per-epoch work is one batch scan + a map-side-
+    combined bins-sized census; state after merge never exceeds the
+    bin count (~40 rows at ANY corpus size), so the per-epoch
+    percentile extraction (window + agg over bins) is constant work.
+    This is how a 100 TB rollup serves live latency percentiles
+    without keeping raw values."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.expr(
+                f"CAST(round(value * 100) AS BIGINT) div {QH_BIN_CENTS}"
+            ).alias("bin"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="quantile_stream_")
+    try:
+        stage = _stage_event_batches(ev, root, SK_BATCHES)
+        state = os.path.join(root, "state")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, int, int, int]] = []
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.groupBy("bin").agg(
+                F.count("*").alias("cnt")
+            ).write.mode("append").parquet(state)
+            merged = (
+                batch_df.sparkSession.read.parquet(state)
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            cum = merged.select(
+                "bin",
+                F.sum("cnt").over(W.orderBy("bin")).alias("c"),
+                F.sum("cnt").over(
+                    W.partitionBy(F.lit(1))
+                ).alias("n"),
+            )
+
+            def est(cond):
+                return (
+                    F.min(F.when(cond, F.col("bin"))) * QH_BIN_CENTS
+                ).cast("long")
+
+            row = cum.agg(
+                F.max("n").alias("n"),
+                est(2 * F.col("c") >= F.col("n")).alias("p50"),
+                est(10 * F.col("c") >= 9 * F.col("n")).alias("p90"),
+                est(100 * F.col("c") >= 99 * F.col("n")).alias("p99"),
+            ).first()
+            log.append(
+                (len(log), row["n"], row["p50"], row["p90"], row["p99"])
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_cum", T.LongType()),
+            T.StructField("p50_cents", T.LongType()),
+            T.StructField("p90_cents", T.LongType()),
+            T.StructField("p99_cents", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)

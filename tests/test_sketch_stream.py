@@ -1,0 +1,100 @@
+"""Streaming sketch-maintenance pins (r9): the merge laws the
+q_hll_stream / q_quantile_stream docstrings claim, mirroring
+tests/test_cms.py's shape for the Bloom/CMS twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_example_firehose_spark.catalog import load_table
+from confluent_example_firehose_spark.operators.index_queries import (
+    QH_BIN_CENTS,
+)
+from confluent_example_firehose_spark.registry import query_fns
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return query_fns()
+
+
+def test_hll_dedup_insensitive(spark, sf_dir):
+    """The law that justifies the exact-audit stand-in: HLL register
+    content is max-of-hashes, so the sketch of the DISTINCT user set
+    estimates exactly what the sketch of the full multiset estimates.
+    (Pinned on the ESTIMATE, not serialized bytes: sparse-mode coupon
+    lists serialize in insertion order, so byte equality does not hold
+    even when the register content does — probed r9.)"""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    multiset = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    dedup = (
+        ev.select("user_id")
+        .distinct()
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "e"
+            )
+        )
+        .first()["e"]
+    )
+    assert multiset == dedup
+
+
+def test_hll_stream_invariants(spark, sf_dir, fns):
+    """End of stream == whole table: the final cumulative exact count
+    equals the table's distinct user count, cum counts are monotone,
+    and both sketch laws held at every epoch."""
+    rows = sorted(
+        fns["q_hll_stream"](spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    n_total = ev.select("user_id").distinct().count()
+    assert rows[-1]["n_exact_cum"] == n_total
+    cums = [r["n_exact_cum"] for r in rows]
+    assert cums == sorted(cums)
+    assert all(r["merge_consistent"] for r in rows)
+    assert all(r["est_within_5pct"] for r in rows)
+
+
+def test_quantile_stream_final_equals_batch(spark, sf_dir, fns):
+    """Merge law: the final epoch's running percentiles equal the
+    one-shot batch histogram over the whole table (count addition is
+    associative + commutative), n_cum is monotone to the table total,
+    and each estimate sits within one bin width of the true
+    percentile."""
+    rows = sorted(
+        fns["q_quantile_stream"](spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    assert rows[-1]["n_cum"] == ev.count()
+    cums = [r["n_cum"] for r in rows]
+    assert cums == sorted(cums)
+
+    # One-shot batch histogram percentiles over the whole table.
+    cents = sorted(
+        r["c"]
+        for r in ev.select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    for pct, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
+        # True percentile: smallest value with rank covering pct*n
+        # (the ceil-rank definition the 2c >= n crossings encode).
+        import math
+
+        true_c = cents[math.ceil(pct * n) - 1]
+        est = rows[-1][col]
+        # Estimate = lower bound of the bin containing the crossing.
+        assert est <= true_c < est + QH_BIN_CENTS, (col, est, true_c)
