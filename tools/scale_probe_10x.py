@@ -40,6 +40,12 @@ DEFAULT = [
     "q_split_leakage",
     "q_graph_bfs",
     "q_graph_pagerank",
+    # r9 (VERDICT r8 item 5): the bench's two slowest headliners — their
+    # banding caps (max_bucket=64 drop / 4096 strict raise) are the
+    # recall trade, so a superlinear step here is the likeliest silent
+    # scale break.
+    "q_dedup_near",
+    "q_dedup_simhash",
 ]
 
 # (table, select-with-{k} template); key offsets keep copies disjoint
