@@ -192,6 +192,33 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(log, schema)
 
 
+def histogram_percentiles(merged: DataFrame):
+    """(n, p50, p90, p99) in cents from a merged (bin, cnt) histogram
+    frame — the q_quantile_mergeable rank-crossing extraction as a
+    reusable kernel (integer-exact: 2c >= n / 10c >= 9n / 100c >= 99n;
+    estimate = the crossing bin's lower bound). Constant work: the
+    window + aggregate run over the bins-bounded frame, never data.
+    Pinned against a pure-Python rank model by
+    tests/test_properties.py (24th law)."""
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(W.orderBy("bin")).alias("c"),
+        F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+
+    def est(cond):
+        return (
+            F.min(F.when(cond, F.col("bin"))) * QH_BIN_CENTS
+        ).cast("long")
+
+    return cum.agg(
+        F.max("n").alias("n"),
+        est(2 * F.col("c") >= F.col("n")).alias("p50"),
+        est(10 * F.col("c") >= 9 * F.col("n")).alias("p90"),
+        est(100 * F.col("c") >= 99 * F.col("n")).alias("p99"),
+    ).first()
+
+
 @register(
     "q_quantile_stream",
     oracle=f"""
@@ -289,25 +316,7 @@ def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("bin")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-            cum = merged.select(
-                "bin",
-                F.sum("cnt").over(W.orderBy("bin")).alias("c"),
-                F.sum("cnt").over(
-                    W.partitionBy(F.lit(1))
-                ).alias("n"),
-            )
-
-            def est(cond):
-                return (
-                    F.min(F.when(cond, F.col("bin"))) * QH_BIN_CENTS
-                ).cast("long")
-
-            row = cum.agg(
-                F.max("n").alias("n"),
-                est(2 * F.col("c") >= F.col("n")).alias("p50"),
-                est(10 * F.col("c") >= 9 * F.col("n")).alias("p90"),
-                est(100 * F.col("c") >= 99 * F.col("n")).alias("p99"),
-            ).first()
+            row = histogram_percentiles(merged)
             log.append(
                 (len(log), row["n"], row["p50"], row["p90"], row["p99"])
             )

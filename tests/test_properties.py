@@ -1502,3 +1502,65 @@ def test_cms_never_underestimates_model(spark, terms):
     for t, c in census_py.items():
         est = min(got[cell] for cell in cells(t))
         assert est >= c
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=50_000),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_percentiles_match_rank_model(spark, cents):
+    """24th law (r9): the fixed-bin histogram percentile kernel
+    (q_quantile_stream / q_quantile_mergeable's rank-crossing
+    extraction) equals an independent pure-Python ceil-rank model on
+    arbitrary non-negative cent lists, and each estimate sits within
+    one bin width of the true percentile. Non-negative domain: the
+    cross-engine `div` truncates toward zero, so bin 0 would span
+    (-BIN, BIN) for signed values — the one-bin error bound is a
+    non-negative-domain guarantee (stated, not hidden)."""
+    import math
+    from collections import Counter
+
+    from confluent_example_firehose_spark.operators.index_queries import (
+        QH_BIN_CENTS,
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        histogram_percentiles,
+    )
+
+    census = Counter(c // QH_BIN_CENTS for c in cents)
+    merged = spark.createDataFrame(
+        list(census.items()), "bin long, cnt long"
+    )
+    row = histogram_percentiles(merged)
+
+    n = len(cents)
+    ordered = sorted(cents)
+
+    def model(num, den):
+        # smallest bin with den*cum >= num*n (the integer crossing)
+        cum = 0
+        for b in sorted(census):
+            cum += census[b]
+            if den * cum >= num * n:
+                return b * QH_BIN_CENTS
+        raise AssertionError("crossing not reached")
+
+    for col, (num, den), pct in (
+        ("p50", (1, 2), 0.5),
+        ("p90", (9, 10), 0.9),
+        ("p99", (99, 100), 0.99),
+    ):
+        want = model(num, den)
+        assert row[col] == want, (cents, col, row[col], want)
+        true_c = ordered[math.ceil(pct * n) - 1]
+        assert want <= true_c < want + QH_BIN_CENTS, (
+            cents,
+            col,
+            want,
+            true_c,
+        )
+    assert row["n"] == n
