@@ -51,6 +51,10 @@ DEFAULT = [
     "q_window_session", "q_window_sliding", "q_last_value",
     "q_window_rank", "q_funnel", "q_cohort_retention",
     "q_ts_resample", "q_ts_rate", "q_window_tumbling",
+    # r9 events consumers: the hot user collapses the HLL distinct
+    # census onto one key; the constant-ish value mix shifts the
+    # histogram percentiles
+    "q_hll_stream", "q_quantile_stream",
 ]
 
 
