@@ -31,13 +31,14 @@ from .index_queries import QH_BIN_CENTS
 SK_BATCHES = 4  # micro-batches, matching BLOOM_BATCHES / CMS_BATCHES
 
 
-def _stage_event_batches(
-    df: DataFrame, root: str, n_batches: int
+def stage_key_batches(
+    df: DataFrame, root: str, n_batches: int, key: str = "event_id"
 ) -> str:
     """Write df as n_batches single-file parquet batches keyed by
-    event_id % n_batches, mtime-ordered so a maxFilesPerTrigger=1 file
+    `key` % n_batches, mtime-ordered so a maxFilesPerTrigger=1 file
     stream replays them as ordered epochs (the q_cms_stream staging
-    shape). Returns the stage directory."""
+    shape; batches are non-empty when the key domain is dense).
+    Returns the stage directory."""
     import glob
     import os
     import shutil
@@ -47,7 +48,7 @@ def _stage_event_batches(
     os.makedirs(stage)
     for k in range(n_batches):
         tmp = os.path.join(root, f"tmp{k}")
-        df.filter(F.col("event_id") % n_batches == k).coalesce(
+        df.filter(F.col(key) % n_batches == k).coalesce(
             1
         ).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -122,7 +123,7 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="hll_stream_")
     try:
-        stage = _stage_event_batches(ev, root, SK_BATCHES)
+        stage = stage_key_batches(ev, root, SK_BATCHES)
         state = os.path.join(root, "state")
         audit = os.path.join(root, "audit")
         stream = (
@@ -298,7 +299,7 @@ def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="quantile_stream_")
     try:
-        stage = _stage_event_batches(ev, root, SK_BATCHES)
+        stage = stage_key_batches(ev, root, SK_BATCHES)
         state = os.path.join(root, "state")
         stream = (
             spark.readStream.schema(ev.schema)

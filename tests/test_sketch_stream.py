@@ -98,3 +98,41 @@ def test_quantile_stream_final_equals_batch(spark, sf_dir, fns):
         est = rows[-1][col]
         # Estimate = lower bound of the bin containing the crossing.
         assert est <= true_c < est + QH_BIN_CENTS, (col, est, true_c)
+
+
+def test_index_stream_final_equals_batch(spark, sf_dir, fns):
+    """Posting-union merge law: the final epoch's served BM25 top-k
+    over the maintained index equals the one-shot q_text_bm25 ranking
+    of the whole table (same query, same rounding, same tie-break) —
+    the index built incrementally IS the index built in batch."""
+    rows = fns["q_index_stream"](spark, sf_dir).collect()
+    last_b = max(r["batch_id"] for r in rows)
+    served = [
+        (r["rank"], r["doc_id"], r["bm25"])
+        for r in sorted(
+            (r for r in rows if r["batch_id"] == last_b),
+            key=lambda r: r["rank"],
+        )
+    ]
+    k = len(served)
+    batch = [
+        (r["rank"], r["doc_id"], r["bm25"])
+        for r in sorted(
+            fns["q_text_bm25"](spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )[:k]
+    ]
+    # q_text_bm25 scores the full table INCLUDING null-text docs (they
+    # shift n_docs/avgdl) while the stream ingests non-null docs only,
+    # so the equality law holds exactly on a null-free corpus — the
+    # standard testdata; skip (never silently pass) otherwise.
+    from pyspark.sql import functions as F
+
+    n_null = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNull())
+        .count()
+    )
+    if n_null > 0:
+        pytest.skip("null-text docs shift BM25 corpus stats")
+    assert served == batch

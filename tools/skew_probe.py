@@ -184,6 +184,9 @@ TEXT_DEFAULT = [
     # mix, and skews the unimax per-source availability
     "q_cms_topk", "q_text_blocklist", "q_nb_classify",
     "q_unimax_budget", "q_cms_stream",
+    # r9: the hot phrase floods the maintained postings state and the
+    # served BM25 prefix rankings
+    "q_index_stream",
 ]
 
 HOT_PHRASE = (
