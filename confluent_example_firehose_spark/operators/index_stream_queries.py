@@ -14,6 +14,8 @@ rescanning history.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -221,6 +223,256 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("rank", T.LongType()),
             T.StructField("doc_id", T.LongType()),
             T.StructField("bm25", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)
+
+
+IVF_STREAM_SAMPLE = 512  # centroid-training sample from the FIRST batch
+
+
+def _ann_stream_oracle():
+    """Centroid-literal lazy oracle for q_ann_index_stream — the
+    q_similarity_ivf recipe applied per ingest prefix: centroids train
+    on the FIRST batch's leading IVF_STREAM_SAMPLE vectors (replayed
+    here with the exact same _ivf_train call and rendered as
+    repr-exact double literals), assignment replays the sequential
+    squared-distance fold, and each batch_id's serving is ranked over
+    the vec_id-residue prefix. Returns None (rows-only fallback) if
+    the parquet is absent at resolve time."""
+    import os
+
+    import numpy as np
+
+    from .similarity_queries import IVF_NPROBE, N_QUERY_VECS, TOP_K, _ivf_train
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % {SK_BATCHES} = 0 "
+            f"ORDER BY vec_id LIMIT {IVF_STREAM_SAMPLE}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample)
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, vec_id % {SK_BATCHES} AS b_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.b_id, e.v, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT vec_id, b_id, v, cluster_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM d
+    ),
+    assigned AS (
+        SELECT vec_id, b_id, v, cluster_id FROM ranked WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cluster_id
+        FROM ranked
+        WHERE vec_id < {N_QUERY_VECS} AND rn <= {IVF_NPROBE}
+    ),
+    all_b AS (SELECT unnest(range({SK_BATCHES})) AS batch_id),
+    hits AS (
+        SELECT ab.batch_id, p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY ab.batch_id, p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, a.v) DESC,
+                            a.vec_id) AS rn
+        FROM all_b ab
+        JOIN assigned a ON a.b_id <= ab.batch_id
+        JOIN probes p ON a.cluster_id = p.cluster_id
+                     AND a.vec_id <> p.query_id
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, query_id,
+           neighbor_id, cos
+    FROM hits WHERE rn <= {TOP_K}
+    """
+
+
+@register("q_ann_index_stream", oracle=_ann_stream_oracle)
+def q_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF vector-index maintenance with live ANN serving —
+    the vector twin of q_index_stream, completing the streaming-
+    maintenance family across sketches, lexical index and vector
+    index: centroids train ONCE on the first ingested batch's leading
+    IVF_STREAM_SAMPLE vectors (IVF training is always a sample — at
+    ingest time that sample is the first shard), then each foreachBatch
+    epoch assigns ITS batch to inverted lists (Arrow-vectorized
+    sequential-fold distances, the q_similarity_ivf kernel) and appends
+    the (cluster_id, vec_id, v) postings to index state; a fixed
+    external query workload (vec_id < N_QUERY_VECS with their NPROBE
+    probe lists) is served from the maintained state after every epoch.
+    Returns (batch_id, query_id, neighbor_id, cos) — each query's
+    TOP_K over everything ingested so far.
+
+    Hash-checked law: list membership is a deterministic function of
+    the trained centroids and posting union is associative/commutative,
+    so each epoch's serving is a pure function of the ingested PREFIX
+    (the oracle replays assignment + ranking per vec_id-residue prefix
+    with repr-exact centroid literals). Cosines use the bit-identical
+    sequential fold; ranking ties break on neighbor_id.
+
+    Scale shape: training is a bounded first-shard sample (driver-side
+    by definition); per-epoch maintenance is one batch scan + a narrow
+    Arrow assignment map + an append; the serve path joins the
+    broadcast probe set to the postings state on cluster_id (at 100 TB
+    the state is list-partitioned so a query touches NPROBE lists) and
+    TakeOrdereds TOP_K per query. History is never re-assigned."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vector import cosine, to_double_array
+    from .similarity_queries import (
+        IVF_NPROBE,
+        N_QUERY_VECS,
+        TOP_K,
+        _ivf_train,
+        _seq_sqdist,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    sample = np.array(
+        [
+            r["v"]
+            for r in e.filter(F.col("vec_id") % SK_BATCHES == 0)
+            .orderBy("vec_id")
+            .limit(IVF_STREAM_SAMPLE)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        return spark.createDataFrame(
+            [], "batch_id long, query_id long, neighbor_id long, cos double"
+        )
+    cents = _ivf_train(sample)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        # Inlined dim-sequential fold (q_similarity_ivf's worker-safe
+        # kernel shape): bit-identical to the oracle's list_reduce.
+        c = cents_b.value
+        x = np.stack(vs.to_numpy())
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    # Fixed external query workload: probe lists from centroids only
+    # (no prefix dependence), stable-sorted like the oracle's
+    # ORDER BY d2, cluster_id.
+    probe_rows = []
+    for r in e.filter(F.col("vec_id") < N_QUERY_VECS).collect():
+        x = np.asarray(r["v"], dtype=np.float64)[None, :]
+        d2 = _seq_sqdist(x, cents_b.value)[0]
+        for c in np.argsort(d2, kind="stable")[:IVF_NPROBE]:
+            probe_rows.append((r["vec_id"], int(c), r["v"]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster_id int, qv array<double>"
+    )
+
+    root = tempfile.mkdtemp(prefix="ann_index_stream_")
+    try:
+        stage = stage_key_batches(e, root, SK_BATCHES, key="vec_id")
+        postings = os.path.join(root, "postings")
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, int, float]] = []
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            batch_df.withColumn(
+                "cluster_id", nearest_list(F.col("v"))
+            ).write.mode("append").parquet(postings)
+            listed = s.read.parquet(postings)
+            scored = (
+                listed.join(F.broadcast(probes), "cluster_id")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    cosine(F.col("qv"), F.col("v")).alias("cos"),
+                )
+            )
+            w = W.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("neighbor_id")
+            )
+            top = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= TOP_K)
+                .select("query_id", "neighbor_id", "cos")
+                .collect()
+            )
+            b = epoch[0]
+            epoch[0] += 1
+            for r in sorted(
+                top, key=lambda r: (r["query_id"], -r["cos"], r["neighbor_id"])
+            ):
+                log.append((b, r["query_id"], r["neighbor_id"], r["cos"]))
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
         ]
     )
     return spark.createDataFrame(log, schema)

