@@ -71,6 +71,16 @@ _CLONES = {
         "SELECT vec_id + {k} * 10000000 AS vec_id, "
         "* EXCLUDE (vec_id) FROM t"
     ),
+    # r9: clone events (disjoint event and user id ranges) so the
+    # events-side operators (sessions, time-series, q_hll_stream /
+    # q_quantile_stream) get a real 10x measurement — before this the
+    # symlink made those rows vacuous (warm-run noise on identical
+    # data).
+    "events": (
+        "SELECT event_id + {k} * 100000000 AS event_id, "
+        "user_id + {k} * 10000000 AS user_id, "
+        "* EXCLUDE (event_id, user_id) FROM t"
+    ),
 }
 
 
