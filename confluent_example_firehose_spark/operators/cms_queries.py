@@ -238,11 +238,31 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         log: list[tuple[int, int, int]] = []
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
             cells = cms_sketch(
                 batch_df.groupBy("term").agg(F.count("*").alias("cnt"))
             )
             cells.write.mode("append").parquet(state)
-            st = batch_df.sparkSession.read.parquet(state)
+            # COMPACT the state every epoch: merge appended deltas by
+            # the CMS cell-wise sum so the stored relation actually IS
+            # bounded at CMS_D x CMS_W rows (the docstring's claim,
+            # made real in r9 — previously deltas accumulated one
+            # append per epoch and were only merged on read). The
+            # bounded collect is justified by construction: a CMS has
+            # at most D*W cells at ANY corpus size. Output-invariant
+            # (sum associativity), covered by this round's driver
+            # recheck.
+            compacted = (
+                s.read.parquet(state)
+                .groupBy("r", "pos")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+            if compacted:
+                s.createDataFrame(compacted).write.mode(
+                    "overwrite"
+                ).parquet(state)
+            st = s.read.parquet(state)
             # coalesce: an empty epoch (a doc_id residue class with no
             # docs at a filtered/tiny SF) leaves the state empty, and
             # sum() over zero rows is NULL where the oracle's
