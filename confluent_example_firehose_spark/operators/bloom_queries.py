@@ -267,9 +267,11 @@ def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     modification time — streaming/pipeline.py:81-86).
 
     Scale shape: per-epoch work is one batch scan + a distinct whose
-    output is bounded by M bits; the state relation never exceeds M
-    rows no matter how many epochs merge into it, so the incremental
-    build costs the same as the batch build, paid as you ingest."""
+    output is bounded by M bits; the STORED state relation is
+    compacted per epoch (distinct + rename-swap, r10) so it never
+    exceeds M rows no matter how many epochs merge into it — the
+    incremental build costs the same as the batch build, paid as you
+    ingest."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -304,16 +306,20 @@ def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         log: list[tuple[int, int]] = []
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from .sketch_stream_queries import compact_state
+
+            s = batch_df.sparkSession
             bits = batch_df.select(
                 F.explode(_positions(F.col("fp"))).alias("pos")
             ).distinct()
             bits.write.mode("append").parquet(state)
-            n_cum = (
-                batch_df.sparkSession.read.parquet(state)
-                .select("pos")
-                .distinct()
-                .count()
-            )
+            # Compact: distinct-overwrite the appended bit deltas
+            # (bitmap OR idempotence/associativity) so the STORED
+            # relation — not just its merged view — is bounded at M
+            # rows (r10, the q_cms_stream pattern; makes the scale-
+            # shape claim below physically true on disk).
+            compact_state(s.read.parquet(state).distinct(), state)
+            n_cum = s.read.parquet(state).count()
             log.append((len(log), n_cum))
 
         q = (
@@ -323,6 +329,11 @@ def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_bloom_stream"] = (
+            spark.read.parquet(state).count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(

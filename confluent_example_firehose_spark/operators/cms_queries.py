@@ -238,6 +238,8 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         log: list[tuple[int, int, int]] = []
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from .sketch_stream_queries import compact_state
+
             s = batch_df.sparkSession
             cells = cms_sketch(
                 batch_df.groupBy("term").agg(F.count("*").alias("cnt"))
@@ -245,23 +247,17 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells.write.mode("append").parquet(state)
             # COMPACT the state every epoch: merge appended deltas by
             # the CMS cell-wise sum so the stored relation actually IS
-            # bounded at CMS_D x CMS_W rows (the docstring's claim,
-            # made real in r9 — previously deltas accumulated one
-            # append per epoch and were only merged on read). The
-            # bounded collect is justified by construction: a CMS has
-            # at most D*W cells at ANY corpus size. Output-invariant
-            # (sum associativity), covered by this round's driver
-            # recheck.
-            compacted = (
+            # bounded at CMS_D x CMS_W rows (r9; r10 swaps the bounded
+            # collect-then-overwrite for the shared sibling-tmp +
+            # rename-swap helper — no driver round-trip, no torn-state
+            # window on a mid-write failure, ADVICE r9 item 3).
+            # Output-invariant (sum associativity), driver-rechecked.
+            compact_state(
                 s.read.parquet(state)
                 .groupBy("r", "pos")
-                .agg(F.sum("c").alias("c"))
-                .collect()
+                .agg(F.sum("c").alias("c")),
+                state,
             )
-            if compacted:
-                s.createDataFrame(compacted).write.mode(
-                    "overwrite"
-                ).parquet(state)
             st = s.read.parquet(state)
             # coalesce: an empty epoch (a doc_id residue class with no
             # docs at a filtered/tiny SF) leaves the state empty, and
@@ -280,6 +276,11 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_cms_stream"] = (
+            spark.read.parquet(state).count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(

@@ -111,11 +111,20 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-epoch maintenance cost is ONE batch scan +
     tokenize (the index build, paid as you ingest — history is never
-    re-tokenized); the serve path reads the postings state filtered to
-    the query terms (predicate-pushed parquet read — at 100 TB the
-    state would be term-bucketed so the read touches |query| buckets),
-    joins the tiny df/stats aggregates, and TakeOrdereds IX_TOP rows.
-    The corpus-sized text never enters the serve path."""
+    re-tokenized); corpus stats (n_docs, sum_dl) are maintained as a
+    ONE-ROW running state updated from the batch aggregate and
+    rename-swapped per epoch (r10, VERDICT r9 item 3 — previously the
+    full doc-length relation was re-aggregated every epoch, O(corpus)
+    maintenance where this is O(batch)+O(1)), and each posting row
+    carries its doc's length, so the serve path reads the postings
+    state filtered to the query terms (predicate-pushed parquet read —
+    at 100 TB the state would be term-bucketed so the read touches
+    |query| buckets), joins the tiny df aggregate and the one-row
+    stats, and TakeOrdereds IX_TOP rows — no doc-length join against a
+    corpus-sized relation anywhere. avgdl = sum_dl/n_docs is
+    bit-identical to the oracle's avg(dl): integer-valued lengths sum
+    exactly in int64/double and the final division is the same IEEE
+    op. The corpus-sized text never enters the serve path."""
     import os
     import shutil
     import tempfile
@@ -131,7 +140,7 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
         postings = os.path.join(root, "postings")
-        dls = os.path.join(root, "dls")
+        stats_path = os.path.join(root, "stats")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -144,23 +153,51 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch = [0]
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from .sketch_stream_queries import compact_state
+
             s = batch_df.sparkSession
             toks = batch_df.select(
                 "doc_id", words("text").alias("toks")
             )
+            # Posting rows carry their doc's length (dl is functionally
+            # dependent on doc_id, so grouping by it is free) — the
+            # serve path then never joins a corpus-sized doc-length
+            # relation.
             toks.select(
-                "doc_id", F.explode("toks").alias("term")
-            ).groupBy("doc_id", "term").agg(
+                "doc_id",
+                F.explode("toks").alias("term"),
+                F.size("toks").cast("double").alias("dl"),
+            ).groupBy("doc_id", "term", "dl").agg(
                 F.count("*").cast("double").alias("tf")
             ).write.mode("append").parquet(postings)
-            toks.select(
-                "doc_id", F.size("toks").cast("double").alias("dl")
-            ).write.mode("append").parquet(dls)
+            # Running (n_docs, sum_dl): O(batch) aggregate + O(1) merge
+            # into the one-row stats state, instead of re-aggregating
+            # the full doc-length relation every epoch.
+            batch_stats = toks.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.size("toks").cast("long")), F.lit(0)
+                ).alias("sum_dl"),
+            )
+            if os.path.isdir(stats_path):
+                compact_state(
+                    s.read.parquet(stats_path)
+                    .unionByName(batch_stats)
+                    .agg(
+                        F.sum("n_docs").alias("n_docs"),
+                        F.sum("sum_dl").alias("sum_dl"),
+                    ),
+                    stats_path,
+                )
+            else:
+                batch_stats.write.parquet(stats_path)
 
-            dl = s.read.parquet(dls)
-            stats = dl.agg(
-                F.count("*").cast("double").alias("n_docs"),
-                F.avg("dl").alias("avgdl"),
+            stats = s.read.parquet(stats_path).select(
+                F.col("n_docs").cast("double").alias("n_docs"),
+                (
+                    F.col("sum_dl").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("avgdl"),
             )
             tf = s.read.parquet(postings).filter(
                 F.col("term").isin(*BM25_QUERY)
@@ -170,7 +207,6 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             scored = (
                 tf.join(F.broadcast(df_), "term")
-                .join(dl, "doc_id")
                 .crossJoin(F.broadcast(stats))
                 .select(
                     "doc_id",
@@ -215,6 +251,11 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_index_stream_stats"] = (
+            spark.read.parquet(stats_path).count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(

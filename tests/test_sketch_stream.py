@@ -105,6 +105,19 @@ def test_index_stream_final_equals_batch(spark, sf_dir, fns):
     over the maintained index equals the one-shot q_text_bm25 ranking
     of the whole table (same query, same rounding, same tie-break) —
     the index built incrementally IS the index built in batch."""
+    # q_text_bm25 scores the full table INCLUDING null-text docs (they
+    # shift n_docs/avgdl) while the stream ingests non-null docs only,
+    # so the equality law holds exactly on a null-free corpus — the
+    # standard testdata; skip (never silently pass) otherwise. Checked
+    # FIRST so an inapplicable corpus doesn't pay the two most
+    # expensive operations before skipping (ADVICE r9 item 4).
+    n_null = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNull())
+        .count()
+    )
+    if n_null > 0:
+        pytest.skip("null-text docs shift BM25 corpus stats")
     rows = fns["q_index_stream"](spark, sf_dir).collect()
     last_b = max(r["batch_id"] for r in rows)
     served = [
@@ -122,20 +135,66 @@ def test_index_stream_final_equals_batch(spark, sf_dir, fns):
             key=lambda r: r["rank"],
         )[:k]
     ]
-    # q_text_bm25 scores the full table INCLUDING null-text docs (they
-    # shift n_docs/avgdl) while the stream ingests non-null docs only,
-    # so the equality law holds exactly on a null-free corpus — the
-    # standard testdata; skip (never silently pass) otherwise.
-    from pyspark.sql import functions as F
+    assert served == batch
 
-    n_null = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNull())
+
+def test_stream_state_physically_bounded(spark, sf_dir, fns):
+    """r10 (VERDICT r9 item 1): the per-epoch compaction makes each
+    streaming sketch's STORED relation — not just its merged view —
+    match the docstring's logical bound after the final epoch:
+    Bloom == final cumulative set bits (<= BLOOM_M), HLL == one merged
+    register row, quantile == the table's distinct bin count, CMS ==
+    final cumulative occupied cells (<= CMS_D*CMS_W), and the index
+    stream's running corpus stats == one row. LAST_STATE_ROWS is
+    captured from the state directory after awaitTermination, before
+    the temp root is removed."""
+    from confluent_example_firehose_spark.operators.bloom_queries import (
+        BLOOM_M,
+    )
+    from confluent_example_firehose_spark.operators.cms_queries import (
+        CMS_D,
+        CMS_W,
+    )
+    from confluent_example_firehose_spark.operators.index_queries import (
+        QH_BIN_CENTS as _BIN,
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        LAST_STATE_ROWS,
+    )
+
+    bloom = sorted(
+        fns["q_bloom_stream"](spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert LAST_STATE_ROWS["q_bloom_stream"] == bloom[-1]["n_cum_bits"]
+    assert LAST_STATE_ROWS["q_bloom_stream"] <= BLOOM_M
+
+    fns["q_hll_stream"](spark, sf_dir).collect()
+    assert LAST_STATE_ROWS["q_hll_stream"] == 1
+
+    fns["q_quantile_stream"](spark, sf_dir).collect()
+    n_bins = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr(
+                f"CAST(round(value * 100) AS BIGINT) div {_BIN}"
+            ).alias("bin")
+        )
+        .distinct()
         .count()
     )
-    if n_null > 0:
-        pytest.skip("null-text docs shift BM25 corpus stats")
-    assert served == batch
+    assert LAST_STATE_ROWS["q_quantile_stream"] == n_bins
+
+    cms = sorted(
+        fns["q_cms_stream"](spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert LAST_STATE_ROWS["q_cms_stream"] == cms[-1]["n_cells_cum"]
+    assert LAST_STATE_ROWS["q_cms_stream"] <= CMS_D * CMS_W
+
+    fns["q_index_stream"](spark, sf_dir).collect()
+    assert LAST_STATE_ROWS["q_index_stream_stats"] == 1
 
 
 def test_ann_index_stream_invariants(spark, sf_dir, fns):
