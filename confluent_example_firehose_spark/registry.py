@@ -63,36 +63,35 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r9 (ADVICE r8 item 2): q_cms_stream's per-epoch mass aggregate
-    # gained F.coalesce(..., 0) for the empty-first-batch edge — a
-    # behavior-affecting edit (at filtered/tiny SFs) that must
-    # re-adjudicate under the new code. Tier 2b can NOT be trusted to
-    # surface it: its stalest-first sort puts r8-checked queries at the
-    # back of the 39-deep changed backlog.
+    # r10 (VERDICT r9 item 1 + ADVICE r9 items 1/3): the streaming
+    # sketch states gained per-epoch physical compaction (rename-swap;
+    # Bloom distinct / HLL union / quantile bin-sum; CMS moved from
+    # bounded-collect to the same helper) and q_index_stream switched
+    # to running one-row corpus stats + dl-in-postings (VERDICT r9
+    # item 3). All output-invariant by merge associativity — verified
+    # hash-green locally at sf0.001+sf0.01 — but behavior-shaped
+    # edits must re-adjudicate under the new code, and 2b's
+    # stalest-first sort would bury these r8/r9-checked rows at the
+    # back of the changed backlog.
+    "q_bloom_stream",
+    "q_hll_stream",
+    "q_quantile_stream",
     "q_cms_stream",
-    # r9 (VERDICT r8 item 4): the multimodal fake feature kernel was
-    # vectorized (numpy frombuffer batch ops replacing the per-row byte
-    # loop, multimodal.py) — output-identical by construction (verified
-    # at sf0.01+sf0.001 locally), but multimodal.py is a KERNEL file
-    # that registers no queries, so 2b's module detector can't see it.
-    "q_multimodal_features",
-    # r9 (VERDICT r8 item 1): the judge's explicit rotation priority —
-    # every UNCHANGED-stale row with latest check r5 or older. These
-    # are tier-3 rows the 52-deep 2b changed backlog would displace for
-    # yet another round; forcing them here makes "no green older than
-    # r5 after r9" true. The displaced 2b tail (6 r5-changed + 4
-    # r6-changed entries) rolls to r10 — changed-but-locally-reverified
-    # beats never-rotated in the staleness ledger.
-    "q_window_session",  # r3
-    "q_window_sliding",  # r3
-    "q_tpch_q12",  # r4
-    "q_ts_anomaly",  # r4
-    "q_ts_downsample",  # r4
-    "q_ts_ewma",  # r4
-    "q_ts_rate",  # r4
-    "q_ts_resample",  # r4
-    "q_arrow_udf",  # r5
-    "q_funnel",  # r5
+    "q_index_stream",
+    # r10 (VERDICT r9 item 2): the final 10 stale rows — all last
+    # driver-checked r5, all judge-reverified green locally in r9.
+    # Rotating them retires the staleness ledger debt entirely: after
+    # r10 no row's latest driver check is older than r6.
+    "q_bpe_pairs",  # r5
+    "q_graph_triangles",  # r5
+    "q_label_centroids",  # r5
+    "q_pysource_stream",  # r5
+    "q_quantile_mergeable",  # r5
+    "q_sink_push_http",  # r5
+    "q_split_assign",  # r5
+    "q_split_leakage",  # r5
+    "q_stream_restart",  # r5
+    "q_trend_fit",  # r5
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
 # (VERDICT r6 item 2) — queries whose implementing MODULE has a git
