@@ -116,7 +116,9 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcells = topk.select(
         "term", "cnt", F.explode(_cms_cells(F.col("term"))).alias("rp")
     ).select("term", "cnt", "rp.r", "rp.pos")
-    return (
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
         tcells.join(F.broadcast(sketch), ["r", "pos"])
         .groupBy("term", "cnt")
         .agg(F.min("c").alias("cms_est"))
@@ -125,7 +127,8 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("exact_cnt"),
             "cms_est",
             (F.col("cms_est") - F.col("cnt")).alias("overcount"),
-        )
+        ),
+        census,
     )
 
 

@@ -667,7 +667,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = F.when(
             r <= head, ((r - 1) / (quot + 1)).cast("long") + 1
         ).otherwise(rem + ((r - head - 1) / quot).cast("long") + 1)
-    return (
+    from ..caching import materialize_unpersist
+
+    # Materialize before unpersisting: a lazy result over the dropped
+    # cache would re-run repartitionByRange with fresh range samples,
+    # breaking the counts/offsets partition identity computed above.
+    return materialize_unpersist(
         part.select("x", "y", rank)
         .withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
@@ -677,7 +682,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x").alias("x_max"),
             F.min("y").alias("y_min"),
             F.max("y").alias("y_max"),
-        )
+        ),
+        part,
     )
 
 

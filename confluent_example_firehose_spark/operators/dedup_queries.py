@@ -187,14 +187,17 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
-    return (
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b", jaccard(F.col("sha"), F.col("shb")).alias("jac")
         )
         .filter(F.col("jac") >= 0.2)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac")),
+        sh,
     )
 
 
@@ -271,7 +274,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = simhash_candidate_pairs(fp)
     a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
     b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
-    return (
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -279,7 +284,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             hamming64(F.col("fpa"), F.col("fpb")).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= 3),
+        fp,
     )
 
 
@@ -311,7 +317,9 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
     b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
-    return (
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -319,7 +327,8 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             hamming64(F.col("fpa"), F.col("fpb")).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= 7)
+        .filter(F.col("hamming") <= 7),
+        fp,
     )
 
 
@@ -629,11 +638,17 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("jac") * 1_000_000).cast("long").alias("jac_ppm"),
         )
     )
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.count("*").alias("n_pairs"),
-        F.round(
-            F.sum("jac_ppm").cast("double") / 1_000_000 / F.count("*"), 6
-        ).alias("mean_jac"),
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
+        pairs.groupBy("source_a", "source_b").agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum("jac_ppm").cast("double") / 1_000_000 / F.count("*"),
+                6,
+            ).alias("mean_jac"),
+        ),
+        sh,
     )
 
 

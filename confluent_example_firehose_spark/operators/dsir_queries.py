@@ -173,9 +173,14 @@ def dsir_select(
     )
     sel = wt.orderBy(F.col("weight").desc(), "doc_id").limit(top)
     rw = W.orderBy(F.col("weight").desc(), "doc_id")
-    return sel.select(
-        F.row_number().over(rw).cast("long").alias("rank"),
-        "doc_id",
-        "weight",
-        "n_tokens",
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
+        sel.select(
+            F.row_number().over(rw).cast("long").alias("rank"),
+            "doc_id",
+            "weight",
+            "n_tokens",
+        ),
+        tf_all,
     )

@@ -183,4 +183,6 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
-    return best
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(best, ct)

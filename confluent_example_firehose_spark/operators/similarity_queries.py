@@ -955,9 +955,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= SEM_TAU)
     )
-    return dup.groupBy("vec_id").agg(
-        F.min("b_id").alias("kept_by"),
-        F.min_by("cos", "b_id").alias("cos"),
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
+        dup.groupBy("vec_id").agg(
+            F.min("b_id").alias("kept_by"),
+            F.min_by("cos", "b_id").alias("cos"),
+        ),
+        listed,
     )
 
 

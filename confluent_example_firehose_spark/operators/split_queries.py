@@ -170,7 +170,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orient each pair train -> eval; drop same-split pairs
     sa, sb = split_label("id_a"), split_label("id_b")
-    return (
+    from ..caching import materialize_unpersist
+
+    return materialize_unpersist(
         verified.withColumn("split_a", sa)
         .withColumn("split_b", sb)
         .filter(
@@ -188,5 +190,6 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("split_a"))
             .alias("eval_split"),
             F.round("jac", 6).alias("jac"),
-        )
+        ),
+        sh,
     )
