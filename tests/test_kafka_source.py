@@ -1,9 +1,9 @@
 """Kafka source parity tests (VERDICT r1 item 2).
 
 No kafka-clients jar or broker exists in this container (re-probed r6
-2026-08-14, r7/r8/r9 2026-08-15: no spark-sql-kafka/kafka-clients jar
-anywhere on the filesystem, no ~/.ivy2 or ~/.m2 cache to bundle from,
-and Maven Central does not resolve — an offline jar bundle is not
+2026-08-14, r7/r8/r9/r10 2026-08-15: no spark-sql-kafka/kafka-clients
+jar anywhere on the filesystem, no ~/.ivy2 or ~/.m2 cache to bundle
+from, and Maven Central does not resolve — an offline jar bundle is not
 constructible here), so the source is pinned two ways:
 1. the exact option dict `kafka_source_options` builds is asserted
    against the reference's consumer tuning (Configs.java:28-37);
