@@ -13,7 +13,15 @@ o_custkey offset per copy), lineitem (l_orderkey and l_suppkey offset
 in lockstep) — so the purchase graph becomes 10 disjoint copies of
 itself. Every other table is symlinked unchanged.
 
-Usage: python tools/scale_probe_10x.py [query ...]
+Usage: python tools/scale_probe_10x.py [--copies=N] [query ...]
+
+--copies=N (default 10) clones N disjoint copies instead — r10 uses
+--copies=100 to push a dedup headliner past its banding cap's design
+point (q_dedup_simhash8's SIMHASH8_BUCKET_CAP=4096 engages at ~500k
+docs/shard = exactly 100 x sf0.1's 50k docs), exercising the strict
+over-cap raise path on real data rather than by unit test. A raise
+from the recall-contract guard is a CONTRACTED outcome and is printed
+as such, not a crash.
 """
 
 from __future__ import annotations
@@ -31,8 +39,18 @@ from confluent_example_firehose_spark.schema import TABLE_NAMES  # noqa: E402
 from confluent_example_firehose_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-CLONE = "/tmp/sf0.1_x10"
 COPIES = 10
+CLONE_TABLES: set | None = None  # None = clone every _CLONES table
+for _a in list(sys.argv[1:]):
+    if _a.startswith("--copies="):
+        COPIES = int(_a.split("=", 1)[1])
+        sys.argv.remove(_a)
+    elif _a.startswith("--clone-tables="):
+        # Only clone these tables (symlink the rest) — keeps a 100x
+        # build cheap when the probed query reads one table.
+        CLONE_TABLES = set(_a.split("=", 1)[1].split(","))
+        sys.argv.remove(_a)
+CLONE = f"/tmp/sf0.1_x{COPIES}"
 
 DEFAULT = [
     "q_dedup_lines",
@@ -93,6 +111,8 @@ def build_clone() -> None:
         src = f"{BASE}/{t}.parquet"
         dst = f"{CLONE}/{t}.parquet"
         tmpl = _CLONES.get(t)
+        if CLONE_TABLES is not None and t not in CLONE_TABLES:
+            tmpl = None
         if tmpl is None:
             os.symlink(src, dst)
             continue
@@ -110,19 +130,39 @@ def main() -> None:
     fns = query_fns()
     spark = get_spark("scale-probe-10x")
     fns["q_agg_basic"](spark, BASE).collect()  # JVM warm
-    print("| query | sf0.1 s | 10x s | ratio |")
+    print(f"| query | sf0.1 s | {COPIES}x s | ratio |")
     print("|---|---|---|---|")
     for name in names:
         times = []
+        raised = None
         for d in (BASE, CLONE):
             t0 = time.monotonic()
-            fns[name](spark, d).collect()
+            try:
+                fns[name](spark, d).collect()
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "bucket" in msg and (
+                    "cap" in msg or "max_bucket" in msg or "recall" in msg
+                ):
+                    raised = msg.splitlines()[0][:160]
+                    times.append(time.monotonic() - t0)
+                    break
+                raise
             times.append(time.monotonic() - t0)
             spark.catalog.clearCache()
-        print(
-            f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
-            f"| {times[1] / times[0]:.1f}x |"
-        )
+        if raised and len(times) == 1:
+            # raised on the BASE run: report and move on
+            print(f"| {name} | RAISED: {raised} | — | — |")
+        elif raised:
+            print(
+                f"| {name} | {times[0]:.2f} | CONTRACTED RAISE after "
+                f"{times[1]:.2f}s: {raised} | — |"
+            )
+        else:
+            print(
+                f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
+                f"| {times[1] / times[0]:.1f}x |"
+            )
 
 
 if __name__ == "__main__":
