@@ -258,6 +258,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import ann_recall_queries  # noqa: F401
     from .operators import sketch_stream_queries  # noqa: F401
     from .operators import index_stream_queries  # noqa: F401
+    from .operators import dedup_stream_queries  # noqa: F401
 
     # Driver-priority ordering, four tiers inside the 50-entry window:
     #   1. never driver-checked (no CORRECTNESS row in any round) — in

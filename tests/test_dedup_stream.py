@@ -1,0 +1,51 @@
+"""q_dedup_near_stream law pins (r10): the ingest-time LSH index
+detects exactly the cross-epoch subset of the batch near-dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+
+from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+    SK_BATCHES,
+)
+from confluent_example_firehose_spark.registry import query_fns
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return query_fns()
+
+
+def test_stream_equals_cross_batch_subset_of_batch_dedup(
+    spark, sf_dir, fns
+):
+    """The emitted (doc_id, dup_of, jac) set equals q_dedup_near's
+    pair set restricted to pairs whose docs land in DIFFERENT
+    doc_id-residue epochs — the batch job and the ingest index agree
+    on every detectable pair (same shingles, same verify kernel, same
+    threshold), and the stream's strictly-earlier semantics exclude
+    exactly the same-epoch pairs."""
+    streamed = {
+        (min(r["doc_id"], r["dup_of"]), max(r["doc_id"], r["dup_of"])): r[
+            "jac"
+        ]
+        for r in fns["q_dedup_near_stream"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in fns["q_dedup_near"](spark, sf_dir).collect()
+        if r["id_a"] % SK_BATCHES != r["id_b"] % SK_BATCHES
+    }
+    assert streamed == batch
+
+
+def test_stream_orientation_and_threshold(spark, sf_dir, fns):
+    """Every emitted row points a NEW doc at a strictly earlier
+    arrival (dup_of's epoch < doc's epoch == batch_id) and clears the
+    verify threshold."""
+    rows = fns["q_dedup_near_stream"](spark, sf_dir).collect()
+    assert rows, "corpus has cross-epoch near-dups by construction"
+    for r in rows:
+        assert r["doc_id"] % SK_BATCHES == r["batch_id"]
+        assert r["dup_of"] % SK_BATCHES < r["batch_id"]
+        assert r["jac"] >= 0.2
