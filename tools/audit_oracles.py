@@ -86,6 +86,88 @@ def exact_cell(v) -> str:
     return str(v)
 
 
+# Documented unrounded-double allowlist (VERDICT r9 item 6): (query,
+# column) pairs that legitimately emit raw float arithmetic because the
+# pinned cross-engine law is BIT-exactness of the producing expression
+# — rounding them would mask the stronger property (an ULP divergence
+# regression would hide inside the rounding) and is therefore wrong,
+# not just unnecessary. Three provenance families:
+#   cosine    — both engines compute the identical dimension-sequential
+#               fold (functions/vector.cosine == DuckDB
+#               list_cosine_similarity replay / list_reduce), proven
+#               bit-identical; the exact-diff gate above compares
+#               float.hex, so the law IS exercised on every audit run.
+#   per-row product — a single IEEE multiply/divide of two column
+#               values with no aggregation (order-independent).
+#   exact-int quotient/log sums with deterministic term order — each
+#               term is a pure function of exact int64 counts and the
+#               summation order is pinned by construction (<= a handful
+#               of terms combined in rank order).
+# Any (query, column) NOT listed here still warns — new raw-float
+# output must either be rounded or justified by extending this table.
+_COS = (
+    "bit-identical dimension-sequential cosine fold on both engines "
+    "(functions/vector.cosine vs the oracle's list replay); unrounded "
+    "BY DESIGN — the pinned law is fold bit-exactness"
+)
+_INT_QUOT = (
+    "single IEEE division of exact-int64-derived operands; no "
+    "order-sensitive accumulation anywhere in the expression"
+)
+_ROW_EXPR = (
+    "per-row arithmetic on stored column values only (no aggregation) "
+    "— IEEE-deterministic independent of row order"
+)
+_RAW = "raw stored column value passthrough/selection — no arithmetic"
+_SUM2DP = (
+    "aggregate over 2-dp fixed-point doubles: sum-order-sensitive in "
+    "principle, measured bit-identical across engines at sf0.001/0.01/"
+    "0.1 since r3 (both reduce in on-disk row order at oracle scales) "
+    "and ENFORCED by this tool's float.hex exact-diff on every run — a "
+    "future divergence fails the audit at the right detection point; "
+    "rounding instead would repoint long-stable driver hashes"
+)
+UNROUNDED_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("q_ann_index_stream", "cos"): _COS,
+    ("q_dedup_embed", "cos"): _COS,
+    ("q_dedup_embed_ingest", "cos"): _COS,
+    ("q_dedup_semantic", "cos"): _COS,
+    ("q_similarity_ivf", "cos"): _COS,
+    ("q_similarity_lsh", "cos"): _COS,
+    ("q_similarity_lsh_multiprobe", "cos"): _COS,
+    ("q_similarity_topk", "cos"): _COS,
+    ("q_multimodal_join", "e0"): _RAW,
+    ("q_tpch_q2", "unit_cost"): _RAW,
+    ("q_filter_project", "revenue"): _ROW_EXPR,
+    ("q_ts_rate", "rate_per_sec"): _ROW_EXPR,
+    ("q_hybrid_rrf", "rrf"): (
+        "fixed-order sum of <= 2 reciprocals of exact integer ranks — "
+        "identical term order by construction on both engines (r7 "
+        "integer-rank-fusion recipe)"
+    ),
+    ("q_contamination", "contamination"): _INT_QUOT,
+    ("q_text_quality", "avg_word_len"): _INT_QUOT,
+    ("q_text_quality", "stop_ratio"): _INT_QUOT,
+    ("q_text_quality", "ttr"): _INT_QUOT,
+    ("q_window_ntile", "pct_rank"): _INT_QUOT,
+    ("q_window_ntile", "cume"): _INT_QUOT,
+    ("q_agg_basic", "avg_qty"): _INT_QUOT,
+    ("q_tpch_q1", "avg_qty"): _INT_QUOT,
+    ("q_agg_basic", "avg_price"): _SUM2DP,
+    ("q_agg_basic", "avg_disc"): _SUM2DP,
+    ("q_tpch_q1", "avg_price"): _SUM2DP,
+    ("q_tpch_q1", "avg_disc"): _SUM2DP,
+    ("q_pandas_udaf", "wavg_value"): _SUM2DP,
+    ("q_tpch_q14", "promo_revenue"): _SUM2DP,
+    ("q_tpch_q17", "avg_yearly"): _SUM2DP,
+    ("q_tpch_q8", "mkt_share"): _SUM2DP,
+}
+
+
+def _allow_reason(name: str, col: str) -> str | None:
+    return UNROUNDED_ALLOWLIST.get((name, col))
+
+
 def unrounded(v: float) -> bool:
     """True if v is not representable as a <=6-decimal-digit fixed-point
     number — i.e. the query emitted raw float arithmetic."""
@@ -110,7 +192,7 @@ def main() -> int:
     spark = get_spark("oracle-audit")
     os.makedirs(DUMPS_DIR, exist_ok=True)
     manifest: list[str] = []
-    n_fail = n_warn = n_ok = 0
+    n_fail = n_warn = n_ok = n_allow = 0
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -172,7 +254,10 @@ def main() -> int:
                 if any(
                     isinstance(r[ci], float) and unrounded(r[ci]) for r in srows
                 ):
-                    warns.append(f"unrounded-double[{c}]")
+                    if _allow_reason(name, c) is not None:
+                        n_allow += 1
+                    else:
+                        warns.append(f"unrounded-double[{c}]")
             import hashlib
 
             digest = hashlib.sha256(
@@ -203,7 +288,10 @@ def main() -> int:
         with open(os.path.join(DUMPS_DIR, "MANIFEST.txt"), "w") as f:
             f.write(f"# canonical spark dumps @ {sf_dir}\n")
             f.write("\n".join(sorted(manifest)) + "\n")
-    print(f"\n{n_ok} clean, {n_warn} warned, {n_fail} failed")
+    print(
+        f"\n{n_ok} clean, {n_warn} warned, {n_fail} failed"
+        f" ({n_allow} allowlisted unrounded columns)"
+    )
     return 1 if n_fail else 0
 
 
