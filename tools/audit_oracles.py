@@ -265,7 +265,11 @@ def main() -> int:
             ).hexdigest()[:16]
             manifest.append(f"{name} rows={len(sc)} sha256={digest}")
             path = os.path.join(DUMPS_DIR, f"{name}.txt")
-            if len(sc) <= MAX_DUMP_ROWS:
+            if only:
+                # subset runs (often at other SFs) must not churn the
+                # committed full-registry dumps
+                pass
+            elif len(sc) <= MAX_DUMP_ROWS:
                 with open(path, "w") as f:
                     f.write(
                         f"# {name} @ {sf_dir}\n# cols: {sorted(scols)}\n"
