@@ -21,3 +21,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture
+def lazy_caching(monkeypatch):
+    """Plan-shape tests need the PRE-materialization plan: the
+    production path eagerly localCheckpoints results before dropping
+    builder caches (caching.materialize_unpersist, r10), which replaces
+    the returned frame's plan with a checkpoint scan. This fixture
+    swaps in a pass-through so the test can explain the real query
+    plan; builder caches are left registered for the session (tiny at
+    the test SF) because the lazy frame still reads them."""
+    import confluent_example_firehose_spark.caching as caching
+
+    monkeypatch.setattr(
+        caching, "materialize_unpersist", lambda result, *cached: result
+    )

@@ -92,7 +92,7 @@ def test_cms_never_underestimates_any_term(spark, sf_dir):
         census.unpersist()
 
 
-def test_cms_topk_plan_shape(spark, sf_dir, fns):
+def test_cms_topk_plan_shape(spark, sf_dir, fns, lazy_caching):
     plan = executed_plan(fns["q_cms_topk"](spark, sf_dir))
     # bounded sketch broadcasts into the estimate join; top-K is
     # TakeOrdered; the census persist feeds both branches (no second

@@ -78,7 +78,7 @@ def test_nb_matches_python_model(spark, fns, tmp_path):
         assert got[i][2] == want[i][2]
 
 
-def test_nb_plan_shape(spark, sf_dir, fns):
+def test_nb_plan_shape(spark, sf_dir, fns, lazy_caching):
     plan = executed_plan(fns["q_nb_classify"](spark, sf_dir))
     # the model (likelihood table, priors) broadcasts into the scoring
     # join; the argmax is an aggregate (min(struct) compiles to

@@ -171,7 +171,7 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir, fns):
     assert "dynamicpruning" in plan.lower()
 
 
-def test_zorder_no_global_window(spark, sf_dir, fns):
+def test_zorder_no_global_window(spark, sf_dir, fns, lazy_caching):
     """The layout rewrite must never rank through an unpartitioned
     window (single-reducer, r3 VERDICT): bucketing is range-partition +
     local offsets + closed-form ntile math. Pin: no WindowExec at all,

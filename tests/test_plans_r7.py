@@ -45,7 +45,7 @@ def test_hybrid_rrf_dense_side_is_takeordered(spark, sf_dir, fns):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_dsir_censuses_broadcast(spark, sf_dir, fns):
+def test_dsir_censuses_broadcast(spark, sf_dir, fns, lazy_caching):
     plan = _plan(fns, "q_dsir_sample", spark, sf_dir)
     # bucket-weight table (<= 512 rows) joins back by broadcast; the
     # top-N is TakeOrdered, not a global sort
