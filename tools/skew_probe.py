@@ -188,6 +188,17 @@ TEXT_DEFAULT = [
     # served BM25 prefix rankings
     "q_index_stream",
 ]
+# NOT probed here, by the same reasoning that keeps q_dedup_near out:
+# the LSH operators' oracle-equality law is explicitly conditional on
+# the corpus's dup-pair margin (dup pairs at jac >= 0.9, nothing near
+# the 0.2 threshold — see q_dedup_near's docstring). The hot-phrase
+# clone manufactures thousands of mid-band (0.2-0.5) pairs whose LSH
+# detection is probabilistic BY DESIGN, so exact-oracle equality
+# cannot and should not hold there (measured r10: q_dedup_near_stream
+# 1,883 of 3,758 mid-band pairs — the cap + band-probability trade
+# doing exactly what its contract says). Hot-text behavior of the
+# dedup family is instead covered by the cap guards themselves
+# (strict raise / documented drop) and the 10x/100x clone probes.
 
 HOT_PHRASE = (
     "the quick brown fox jumps over the lazy dog "
