@@ -99,7 +99,11 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic LSH serving story), with a {NEAR_STREAM_BUCKET_CAP}-id
     state-occupancy cap per bucket (the q_dedup_near skew trade,
     vacuous at test SFs and therefore absent from the oracle). The
-    verify join fetches shingle sets for candidate ids only. Reference
+    verify join fetches shingle sets for candidate ids only. The
+    per-epoch collect is OUTPUT-sized (the verified near-dup pairs the
+    epoch emits — the rows the caller receives anyway), never
+    state-sized or batch-sized; a production sink would append them to
+    a parquet hits relation instead of the driver log. Reference
     parity: dedup-at-ingest generalizes the reference's keyed
     first-seen state (AbstractPrometheusFirehose.java:41-51) from
     exact keys to near-duplicate text."""
