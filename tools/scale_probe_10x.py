@@ -22,6 +22,14 @@ docs/shard = exactly 100 x sf0.1's 50k docs), exercising the strict
 over-cap raise path on real data rather than by unit test. A raise
 from the recall-contract guard is a CONTRACTED outcome and is printed
 as such, not a crash.
+
+--state-rows additionally prints each instrumented streaming
+operator's stored-state row count (operators.sketch_stream_queries
+.LAST_STATE_ROWS) after the probe — since the CLONE leg runs last,
+the printed counts are the clone leg's, i.e. the bounded-stored-state
+claim (state rows == the sketch's logical bound, independent of
+corpus size) measured at N x data rather than pinned only by the
+sf-sized unit test.
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ from confluent_example_firehose_spark.session import get_spark  # noqa: E402
 BASE = "/root/testdata/sf0.1"
 COPIES = 10
 CLONE_TABLES: set | None = None  # None = clone every _CLONES table
+STATE_ROWS = False
 for _a in list(sys.argv[1:]):
     if _a.startswith("--copies="):
         COPIES = int(_a.split("=", 1)[1])
@@ -49,6 +58,9 @@ for _a in list(sys.argv[1:]):
         # Only clone these tables (symlink the rest) — keeps a 100x
         # build cheap when the probed query reads one table.
         CLONE_TABLES = set(_a.split("=", 1)[1].split(","))
+        sys.argv.remove(_a)
+    elif _a == "--state-rows":
+        STATE_ROWS = True
         sys.argv.remove(_a)
 CLONE = f"/tmp/sf0.1_x{COPIES}"
 
@@ -163,6 +175,14 @@ def main() -> None:
                 f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
                 f"| {times[1] / times[0]:.1f}x |"
             )
+    if STATE_ROWS:
+        from confluent_example_firehose_spark.operators import (  # noqa: E402
+            sketch_stream_queries as ssq,
+        )
+
+        print(f"\nstored-state rows after the {COPIES}x leg:")
+        for k in sorted(ssq.LAST_STATE_ROWS):
+            print(f"  {k}: {ssq.LAST_STATE_ROWS[k]}")
 
 
 if __name__ == "__main__":
