@@ -79,27 +79,34 @@ DEFAULT = [
 ]
 
 # (table, select-with-{k} template); key offsets keep copies disjoint
+# Offsets are BIGINT arithmetic: the base parquet ids are INT32, and
+# k * 1e8 overflows INT32 at k >= 22 — a --copies=100 build crashed on
+# exactly that before the casts (r10).
 _CLONES = {
     "documents": (
-        "SELECT doc_id + {k} * 10000000 AS doc_id, * EXCLUDE (doc_id) "
-        "FROM t"
+        "SELECT CAST(doc_id AS BIGINT) + {k} * 10000000::BIGINT "
+        "AS doc_id, * EXCLUDE (doc_id) FROM t"
     ),
     "orders": (
-        "SELECT o_orderkey + {k} * 100000000 AS o_orderkey, "
-        "o_custkey + {k} * 10000000 AS o_custkey, "
+        "SELECT CAST(o_orderkey AS BIGINT) + {k} * 100000000::BIGINT "
+        "AS o_orderkey, "
+        "CAST(o_custkey AS BIGINT) + {k} * 10000000::BIGINT "
+        "AS o_custkey, "
         "* EXCLUDE (o_orderkey, o_custkey) FROM t"
     ),
     "lineitem": (
-        "SELECT l_orderkey + {k} * 100000000 AS l_orderkey, "
-        "l_suppkey + {k} * 10000000 AS l_suppkey, "
+        "SELECT CAST(l_orderkey AS BIGINT) + {k} * 100000000::BIGINT "
+        "AS l_orderkey, "
+        "CAST(l_suppkey AS BIGINT) + {k} * 10000000::BIGINT "
+        "AS l_suppkey, "
         "* EXCLUDE (l_orderkey, l_suppkey) FROM t"
     ),
     # r7: clone embeddings too (disjoint vec_id ranges) so the
     # embedding-side operators (q_dedup_semantic, ANN) get a real 10x
     # measurement instead of reading the symlinked original.
     "embeddings": (
-        "SELECT vec_id + {k} * 10000000 AS vec_id, "
-        "* EXCLUDE (vec_id) FROM t"
+        "SELECT CAST(vec_id AS BIGINT) + {k} * 10000000::BIGINT "
+        "AS vec_id, * EXCLUDE (vec_id) FROM t"
     ),
     # r9: clone events (disjoint event and user id ranges) so the
     # events-side operators (sessions, time-series, q_hll_stream /
@@ -107,8 +114,9 @@ _CLONES = {
     # symlink made those rows vacuous (warm-run noise on identical
     # data).
     "events": (
-        "SELECT event_id + {k} * 100000000 AS event_id, "
-        "user_id + {k} * 10000000 AS user_id, "
+        "SELECT CAST(event_id AS BIGINT) + {k} * 100000000::BIGINT "
+        "AS event_id, "
+        "CAST(user_id AS BIGINT) + {k} * 10000000::BIGINT AS user_id, "
         "* EXCLUDE (event_id, user_id) FROM t"
     ),
 }
