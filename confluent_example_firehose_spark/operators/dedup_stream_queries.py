@@ -219,6 +219,19 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # Index-state size law (the family's LAST_STATE_ROWS
+        # instrumentation): unlike the compacted sketches, an LSH
+        # index is LINEAR by design — exactly NEAR_STREAM_BANDS
+        # posting rows and one shingle row per ingested (shingleable)
+        # doc, never pair-quadratic. Pinned by tests/test_dedup_stream.
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_dedup_near_stream_bands"] = (
+            spark.read.parquet(bands_state).count()
+        )
+        LAST_STATE_ROWS["q_dedup_near_stream_shingles"] = (
+            spark.read.parquet(sh_state).count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(

@@ -39,6 +39,36 @@ def test_stream_equals_cross_batch_subset_of_batch_dedup(
     assert streamed == batch
 
 
+def test_index_state_linear_in_corpus(spark, sf_dir, fns):
+    """The maintained LSH index is LINEAR in the ingested corpus:
+    exactly NEAR_STREAM_BANDS posting rows and one shingle-set row per
+    shingleable doc (non-null text, >= 3 words) — never candidate- or
+    pair-sized. The family's LAST_STATE_ROWS pin, in the form that
+    fits an index (linear bound) rather than a sketch (constant)."""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (
+        NEAR_STREAM_BANDS,
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        LAST_STATE_ROWS,
+    )
+
+    fns["q_dedup_near_stream"](spark, sf_dir).collect()
+    eligible = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .count()
+    )
+    assert LAST_STATE_ROWS["q_dedup_near_stream_shingles"] == eligible
+    assert (
+        LAST_STATE_ROWS["q_dedup_near_stream_bands"]
+        == NEAR_STREAM_BANDS * eligible
+    )
+
+
 def test_stream_orientation_and_threshold(spark, sf_dir, fns):
     """Every emitted row points a NEW doc at a strictly earlier
     arrival (dup_of's epoch < doc's epoch == batch_id) and clears the
