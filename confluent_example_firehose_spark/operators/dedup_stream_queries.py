@@ -1,7 +1,7 @@
-"""Near-duplicate detection AT INGEST — the dedup member of the
-streaming-maintenance family (sketches: bloom/cms/hll/quantile;
-lexical index: q_index_stream; vector index: q_ann_index_stream; this
-completes the set). The reference engine's premise is incremental
+"""Corpus admission control AT INGEST — the dedup and curation members
+of the streaming-maintenance family (sketches: bloom/cms/hll/quantile;
+lexical index: q_index_stream; vector index: q_ann_index_stream;
+near-dup index + quality/dedup admission here complete the set). The reference engine's premise is incremental
 keyed state over a micro-batched ingest
 (`AbstractPrometheusFirehose.java:41-51`,
 `AbstractFirehose.java:107-131`); this is its dedup-index analogue and
@@ -240,6 +240,177 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("doc_id", T.LongType()),
             T.StructField("dup_of", T.LongType()),
             T.StructField("jac", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)
+
+
+@register(
+    "q_curation_stream",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, doc_id % {SK_BATCHES} AS b, md5(text) AS fp,
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[ \\t\\n\\r\\f\\v]+'),
+                           x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+        SELECT b, fp FROM w
+        WHERE len(ws) >= 5
+          AND CAST(len(list_filter(ws, x -> x IN ('a', 'the')))
+                   AS DOUBLE) / len(ws) >= 0.05
+          AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+    ),
+    firstb AS (SELECT fp, min(b) AS fb FROM q GROUP BY fp),
+    arr AS (
+        SELECT doc_id % {SK_BATCHES} AS b, count(*) AS n_arrived
+        FROM documents GROUP BY 1
+    ),
+    qa AS (SELECT b, count(*) AS n_q FROM q GROUP BY b),
+    adm AS (SELECT fb AS b, count(*) AS n_admitted FROM firstb GROUP BY fb)
+    SELECT CAST(arr.b AS BIGINT) AS batch_id,
+           CAST(arr.n_arrived AS BIGINT) AS n_arrived,
+           CAST(arr.n_arrived - coalesce(qa.n_q, 0) AS BIGINT)
+               AS n_quality_fail,
+           CAST(coalesce(qa.n_q, 0) - coalesce(adm.n_admitted, 0) AS BIGINT)
+               AS n_dup_dropped,
+           CAST(coalesce(adm.n_admitted, 0) AS BIGINT) AS n_admitted,
+           CAST((SELECT count(*) FROM firstb f WHERE f.fb <= arr.b)
+                AS BIGINT) AS n_corpus_cum
+    FROM arr
+    LEFT JOIN qa ON qa.b = arr.b
+    LEFT JOIN adm ON adm.b = arr.b
+    ORDER BY batch_id
+    """,
+)
+def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ADMISSION CONTROL at ingest — the streaming twin of
+    q_corpus_curation's gate+dedup front half, and the pipeline shape a
+    100 TB pre-training corpus actually runs at its front door: each
+    micro-batch epoch quality-gates ITS arrivals (q_corpus_curation's
+    EXACT predicates: non-null text, >= 5 words, stopword density >=
+    0.05, type-token ratio >= 0.3), drops content already admitted (md5
+    content fingerprint, within-batch and against the maintained
+    admitted-fingerprint state), appends the newly admitted
+    fingerprints to the state, and emits the epoch's admission ledger:
+    (batch_id, n_arrived, n_quality_fail, n_dup_dropped, n_admitted,
+    n_corpus_cum) — all BIGINT counts, hash-exact by construction.
+
+    Hash-checked law: the ledger equals the DuckDB replay where a
+    fingerprint is admitted exactly once, in the first epoch where a
+    quality-passing copy arrives (min-batch census) — so sum(n_admitted)
+    == the batch q_corpus_curation's deduped survivor count (the stream
+    admits precisely what the batch curation keeps; cross-operator law
+    pinned in tests/test_dedup_stream.py). Counts are pure functions of
+    the batch partition: admission is per-FINGERPRINT (not per-doc), so
+    within-epoch row order never matters.
+
+    Scale shape: per-epoch work is one batch scan (gates are row-local
+    array math, zero shuffle), a batch-sized fp-distinct, and ONE
+    left_anti equi-join against the admitted-fp state — at 100 TB the
+    state is fp-bucket-partitioned so the probe is co-located (the same
+    serving story as the LSH/band and posting states above); history
+    text is never rescanned or re-scored. State grows by NEW content
+    only and is compacted per epoch (distinct + rename-swap), so the
+    stored relation is bounded by CONTENT DIVERSITY, not corpus size —
+    the measured 100x-clone property (SCALE.md r10: cloned corpora add
+    zero state rows). Reference parity: this is the reference's keyed
+    first-seen admission (AbstractPrometheusFirehose.java:41-51,
+    lazy series creation) generalized from metric keys to document
+    content, on its micro-batch boundaries (AbstractFirehose.java:
+    107-131)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .dedup import words
+    from .sketch_stream_queries import (
+        LAST_STATE_ROWS,
+        compact_state,
+        stage_key_batches,
+    )
+    from .text_queries import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="curation_stream_")
+    try:
+        stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
+        state = os.path.join(root, "admitted_fps")
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, int, int, int, int]] = []
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            b = epoch[0]
+            epoch[0] += 1
+            n_arrived = batch_df.count()
+            scored = (
+                batch_df.filter(F.col("text").isNotNull())
+                .select(F.md5("text").alias("fp"), words("text").alias("ws"))
+                .filter(F.size("ws") >= 5)
+            )
+            nw = F.size("ws").cast("long")
+            ns = F.size(
+                F.filter(
+                    F.col("ws"),
+                    lambda w: w.isin(*[F.lit(x) for x in STOPWORDS]),
+                )
+            ).cast("long")
+            nd = F.size(F.array_distinct("ws")).cast("long")
+            passed = scored.select(
+                "fp", nw.alias("nw"), ns.alias("ns"), nd.alias("nd")
+            ).filter(
+                (F.col("ns").cast("double") / F.col("nw") >= 0.05)
+                & (F.col("nd").cast("double") / F.col("nw") >= 0.3)
+            )
+            n_q = passed.count()
+            fps = passed.select("fp").distinct()
+            if os.path.isdir(state):
+                new = fps.join(s.read.parquet(state), "fp", "left_anti")
+            else:
+                new = fps
+            # The anti-join result feeds two actions (count + append);
+            # persist closes its lifecycle inside the epoch.
+            new = new.persist()
+            n_adm = new.count()
+            new.write.mode("append").parquet(state)
+            new.unpersist()
+            compact_state(s.read.parquet(state).distinct(), state)
+            n_cum = s.read.parquet(state).count()
+            log.append(
+                (b, n_arrived, n_arrived - n_q, n_q - n_adm, n_adm, n_cum)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Admitted-fp state == distinct admitted content: the
+        # content-diversity bound, same pin family as the sketches.
+        LAST_STATE_ROWS["q_curation_stream"] = (
+            spark.read.parquet(state).count()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_arrived", T.LongType()),
+            T.StructField("n_quality_fail", T.LongType()),
+            T.StructField("n_dup_dropped", T.LongType()),
+            T.StructField("n_admitted", T.LongType()),
+            T.StructField("n_corpus_cum", T.LongType()),
         ]
     )
     return spark.createDataFrame(log, schema)

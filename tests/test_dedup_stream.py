@@ -79,3 +79,47 @@ def test_stream_orientation_and_threshold(spark, sf_dir, fns):
         assert r["doc_id"] % SK_BATCHES == r["batch_id"]
         assert r["dup_of"] % SK_BATCHES < r["batch_id"]
         assert r["jac"] >= 0.2
+
+
+def test_curation_stream_ledger_laws(spark, sf_dir, fns):
+    """Admission-ledger identities: every arrival is accounted for
+    exactly once (arrived == quality_fail + dup_dropped + admitted),
+    the cumulative corpus is the running sum of admissions, and the
+    maintained state holds exactly one fingerprint per admitted
+    content (LAST_STATE_ROWS == final n_corpus_cum)."""
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        LAST_STATE_ROWS,
+    )
+
+    rows = sorted(
+        fns["q_curation_stream"](spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert (
+            r["n_arrived"]
+            == r["n_quality_fail"] + r["n_dup_dropped"] + r["n_admitted"]
+        )
+        cum += r["n_admitted"]
+        assert r["n_corpus_cum"] == cum
+    assert LAST_STATE_ROWS["q_curation_stream"] == rows[-1]["n_corpus_cum"]
+
+
+def test_curation_stream_admits_what_batch_curation_keeps(
+    spark, sf_dir, fns
+):
+    """Cross-operator law: the stream's total admissions equal the
+    batch q_corpus_curation's deduped survivor count — same gates,
+    same fingerprint, so admission control at ingest converges to
+    exactly the corpus the one-shot curation would keep."""
+    total_admitted = sum(
+        r["n_admitted"]
+        for r in fns["q_curation_stream"](spark, sf_dir).collect()
+    )
+    batch_kept = sum(
+        r["n_docs"]
+        for r in fns["q_corpus_curation"](spark, sf_dir).collect()
+    )
+    assert total_admitted == batch_kept
