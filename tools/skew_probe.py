@@ -187,6 +187,12 @@ TEXT_DEFAULT = [
     # r9: the hot phrase floods the maintained postings state and the
     # served BM25 prefix rankings
     "q_index_stream",
+    # r10: the hot phrase makes every 5th doc content-identical, so
+    # admission control mass-drops arrivals against ONE hot
+    # fingerprint in the maintained state — exact md5 dedup, so unlike
+    # the LSH operators below the oracle-equality law holds under the
+    # clone and the probe is hash-adjudicated
+    "q_curation_stream",
 ]
 # NOT probed here, by the same reasoning that keeps q_dedup_near out:
 # the LSH operators' oracle-equality law is explicitly conditional on
