@@ -63,6 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_session_confs(spark)
+            # Release builder caches the PREVIOUS query deferred
+            # (caching.materialize_unpersist(defer=True)) — the driver
+            # has collected its result by the time the next query runs.
+            from confluent_example_firehose_spark.caching import (
+                drain_pending,
+            )
+
+            drain_pending()
             return fn(spark, sf_dir)
 
         return inner

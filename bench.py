@@ -88,9 +88,31 @@ def _spin_par_ms(procs: int = 8) -> float:
         return round((time.perf_counter() - t0) * 1000, 1)
 
 
+# Box-cleanliness envelope (VERDICT r10 item 4): r10's four idle-start
+# closing sessions swung 9.74-11.82 s raw with parallel capacity
+# varying ~35% between sessions; the two-canary protocol made that
+# visible, this gate makes it a recorded verdict. A number is "clean"
+# only when parallel contention is low (spin_par within PAR_RATIO_MAX
+# of the single-thread spin — on an uncontended >=8-core box the two
+# track each other) AND the PRE-RUN 1-minute loadavg is below
+# LOADAVG_START_MAX (sampled before the JVM starts: the bench's own
+# local[32] load is common-mode and must not mask a dirty start).
+# Records outside the envelope are ANNOTATED, not refused — the
+# per-round driver needs its JSON line unconditionally; the builder's
+# closing protocol sets SPARK_GRAFT_BENCH_REQUIRE_CLEAN=1, under which
+# a dirty record exits non-zero (median-of->=3 sessions is then the
+# documented fallback).
+PAR_RATIO_MAX = 1.3
+LOADAVG_START_MAX = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        loadavg_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_start = None
     # sf parsed from the dir name (sf0.1 -> 0.1); fall back to 0.1
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -120,10 +142,13 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    from confluent_example_firehose_spark.caching import drain_pending
+
     for name in HEADLINE:
         fn = fns.get(name)
         if fn is not None:
             fn(spark, warm_dir).count()
+    drain_pending()  # release deferred builder caches (list + RDDs)
     spark.catalog.clearCache()  # drop warmup persists
 
     # Min of 3 timed runs per query: single-run numbers on a shared
@@ -148,6 +173,7 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
             # Queries that persist() intermediates (dedup/simhash) must
             # not leak cache into the next run's or query's numbers.
+            drain_pending()
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
@@ -180,10 +206,26 @@ def main() -> None:
     # 16.37 s was a 2.08x line on unchanged code at spin ~198-280 vs
     # r6's ~150). spin_ms keeps the r7 meaning (the post-run sample).
     spin_after = _spin_ms()
+    spin_par = _spin_par_ms()
     env["spin_ms_before"] = spin_before
     env["spin_ms"] = spin_after
-    env["spin_par_ms"] = _spin_par_ms()
+    env["spin_par_ms"] = spin_par
+    env["loadavg_1m_start"] = loadavg_start
     spin_mean = (spin_before + spin_after) / 2 or SPIN_REF_MS
+
+    # Cleanliness verdict (VERDICT r10 item 4) — see the envelope
+    # comment above main().
+    par_ratio = round(spin_par / spin_mean, 3)
+    clean = par_ratio <= PAR_RATIO_MAX and (
+        loadavg_start is None or loadavg_start <= LOADAVG_START_MAX
+    )
+    env_gate = {
+        "par_ratio": par_ratio,
+        "loadavg_1m_start": loadavg_start,
+        "par_ratio_max": PAR_RATIO_MAX,
+        "loadavg_start_max": LOADAVG_START_MAX,
+        "clean": clean,
+    }
     # Self-normalizing line (VERDICT r7 item 5): the recorded JSON
     # carries its own box-drift correction — value scaled to what the
     # same run would measure at the r6-reference single-thread speed.
@@ -200,10 +242,20 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "env": env,
+                "env_gate": env_gate,
             }
         )
     )
     spark.stop()
+    if not clean and os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_CLEAN"):
+        print(
+            f"bench: box outside cleanliness envelope "
+            f"(par_ratio={par_ratio} max={PAR_RATIO_MAX}, "
+            f"loadavg_1m_start={loadavg_start} max={LOADAVG_START_MAX}) "
+            f"— not a closing-record session; take the median of >=3",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -426,6 +426,99 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def fp_classes(fp: DataFrame) -> DataFrame:
+    """Contract a (_id, fp) fingerprint table into equivalence classes
+    of IDENTICAL fingerprints: one row per distinct fp with the
+    minimum member id as representative and the member count. The
+    duplicate-skew completion path (VERDICT r10 item 1): a corpus
+    that is 99% exact duplicates — the shape a 100 TB dedup run is
+    GUARANTEED to contain — collapses to its distinct-content size
+    before any bucket pairing, so pigeonhole/LSH bucket caps see one
+    representative per class instead of the full duplicate mass.
+
+    Callers should persist the result: it feeds the blocking branch,
+    both rep-verify joins, and the self-pair branch of
+    simhash_pairs_contracted."""
+    return fp.groupBy("fp").agg(
+        F.min("_id").alias("_id"), F.count(F.lit(1)).alias("_n")
+    )
+
+
+def simhash_pairs_contracted(
+    fp: DataFrame,
+    classes: DataFrame,
+    radius: int,
+    n_blocks: int = 4,
+    max_bucket: int = 256,
+    strict: bool = True,
+) -> DataFrame:
+    """All document pairs (id_a < id_b, hamming <= radius) from a
+    (_id, fp) table, via equivalence-class contraction: pigeonhole
+    blocking + Hamming verify run on ONE REPRESENTATIVE per distinct
+    fingerprint, then class-level pairs expand back to member pairs
+    through two fp-keyed joins. Output-invariant vs pairing the raw
+    table directly (pinned by a hypothesis law in tests/test_dedup.py):
+
+      {(a, b) : d(fp_a, fp_b) <= radius}
+        = within-class pairs (d = 0, radius >= 0 always here)
+        UNION (class A != class B with d(fp_A, fp_B) <= radius)
+              x members(A) x members(B)
+
+    because Hamming distance depends only on the fingerprints and all
+    members of a class share one. Both cases ride the SAME two
+    expansion joins: class-level rows are (fpa, fpb, hamming), with
+    within-class pairs contributed as a (fp, fp, 0) self-row per
+    class of size >= 2; the fpa = fpb rows keep mid_a < mid_b (each
+    unordered pair once), cross-class rows canonicalize with
+    least/greatest. The strict bucket-cap guard still fires — but now
+    only for genuine fingerprint-DIVERSITY skew (many DISTINCT fps
+    sharing a block value), which is the recall contract it exists to
+    protect; exact-duplicate mass can no longer trip it. Pair output
+    on a duplicate-heavy corpus is inherently quadratic in class
+    sizes — that cost is the answer itself, not the algorithm.
+
+    `classes` must be fp_classes(fp) (persisted by the caller — four
+    plan branches read it; it is one row per DISTINCT fingerprint, the
+    contracted size)."""
+    reps = classes.select("_id", "fp")
+    cands = simhash_candidate_pairs(
+        reps, n_blocks=n_blocks, max_bucket=max_bucket, strict=strict
+    )
+    a = reps.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
+    b = reps.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
+    rep_pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "fpa",
+            "fpb",
+            hamming64(F.col("fpa"), F.col("fpb")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+    self_pairs = classes.filter(F.col("_n") >= 2).select(
+        F.col("fp").alias("fpa"),
+        F.col("fp").alias("fpb"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    ma = fp.select(F.col("_id").alias("mid_a"), F.col("fp").alias("fpa"))
+    mb = fp.select(F.col("_id").alias("mid_b"), F.col("fp").alias("fpb"))
+    return (
+        rep_pairs.unionByName(self_pairs)
+        .join(ma, "fpa")
+        .join(mb, "fpb")
+        .filter(
+            (F.col("fpa") != F.col("fpb"))
+            | (F.col("mid_a") < F.col("mid_b"))
+        )
+        .select(
+            F.least("mid_a", "mid_b").alias("id_a"),
+            F.greatest("mid_a", "mid_b").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
 def bucket_pairs_refined(
     banded: DataFrame,
     bucket_cols: list[str],

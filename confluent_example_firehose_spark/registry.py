@@ -63,43 +63,107 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r10 (VERDICT r9 item 1 + ADVICE r9 items 1/3): the streaming
-    # sketch states gained per-epoch physical compaction (rename-swap;
-    # Bloom distinct / HLL union / quantile bin-sum; CMS moved from
-    # bounded-collect to the same helper) and q_index_stream switched
-    # to running one-row corpus stats + dl-in-postings (VERDICT r9
-    # item 3). All output-invariant by merge associativity — verified
-    # hash-green locally at sf0.001+sf0.01 — but behavior-shaped
-    # edits must re-adjudicate under the new code, and 2b's
-    # stalest-first sort would bury these r8/r9-checked rows at the
-    # back of the changed backlog.
-    "q_bloom_stream",
-    "q_hll_stream",
-    "q_quantile_stream",
-    "q_cms_stream",
-    "q_index_stream",
-    # r10 (VERDICT r9 item 2): the final 10 stale rows — all last
-    # driver-checked r5, all judge-reverified green locally in r9.
-    # Rotating them retires the staleness ledger debt entirely: after
-    # r10 no row's latest driver check is older than r6.
-    "q_bpe_pairs",  # r5
-    "q_graph_triangles",  # r5
-    "q_label_centroids",  # r5
-    "q_pysource_stream",  # r5
-    "q_quantile_mergeable",  # r5
-    "q_sink_push_http",  # r5
-    "q_split_assign",  # r5
-    "q_split_leakage",  # r5
-    "q_stream_restart",  # r5
-    "q_trend_fit",  # r5
+    # r11: empty by design. The round's behavior-shaped edits — the
+    # simhash equivalence-class contraction (VERDICT r10 item 1) and
+    # the deferred cache release (item 3) — all live inside the query
+    # FUNCTION bodies of q_dedup_simhash / q_dedup_simhash8 /
+    # q_dedup_near, which the function-granular 2b detector promotes
+    # automatically; the round's kernel additions (dedup.fp_classes,
+    # dedup.simhash_pairs_contracted, caching.drain_pending) are
+    # reached only through those same changed bodies. Keeping tier 2
+    # empty leaves the full 50-row window to the 43-row r6 staleness
+    # cohort (VERDICT r10 item 2) plus the three auto-promotions.
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
-# (VERDICT r6 item 2) — queries whose implementing MODULE has a git
-# commit in a round after the query's latest CORRECTNESS row are
-# auto-promoted, so a reshape-after-check can no longer silently wait
-# out a full staleness rotation. Kernel-only edits (e.g. dedup.py,
-# graph.py — files that register no queries themselves) are NOT seen by
-# the module-granularity detector: list their queries here explicitly.
+# (VERDICT r6 item 2) — queries whose implementing code changed in a
+# round after the query's latest CORRECTNESS row are auto-promoted, so
+# a reshape-after-check can no longer silently wait out a full
+# staleness rotation. Since r11 the detector is FUNCTION-granular
+# (VERDICT r10 item 2's window math: a 10-query module edited for two
+# functions would otherwise crowd 10 of the 50 window slots and push
+# the r6 staleness cohort out of rotation): within an edited module,
+# only queries whose own function AST changed since the round marker —
+# or that reference a changed registered function — promote, and ANY
+# change to module-level code other than imports and the module
+# docstring falls back to promoting the whole module (helpers,
+# constants, and oracle scaffolds are shared state; the conservative
+# fallback keeps the r6 contract). Kernel-only edits (e.g. dedup.py,
+# graph.py — files that register no queries themselves) are STILL not
+# seen: list their queries here explicitly when the edit is not
+# already visible in the query function bodies.
+
+def _changed_functions(
+    old_src: str, new_src: str, registered: set
+) -> Optional[set]:
+    """Which registered top-level function names changed between two
+    versions of a module's source — the pure core of the function-
+    granular 2b detector (unit-tested directly in
+    tests/test_registry_promotion.py).
+
+    Returns the set of changed registered-function names, closed over
+    same-module references between registered functions (if registered
+    fn A's body names changed registered fn B, A promotes too), or
+    None — the promote-ALL fallback — when anything outside registered
+    function defs changed: module-level constants, non-registered
+    helpers, class defs, oracle scaffolds. Imports and the module
+    docstring are exempt from the residue compare (an import binds a
+    name; it changes another function's behavior only by shadowing a
+    module-level def, and a shadowed def shows up as a residue change).
+    Comparison is ast.dump without attributes, so comment/whitespace/
+    formatting-only edits promote nothing."""
+    import ast
+
+    try:
+        old_tree, new_tree = ast.parse(old_src), ast.parse(new_src)
+    except SyntaxError:
+        return None
+
+    def split(tree):
+        fns: dict[str, str] = {}
+        residue: list[str] = []
+        refs: dict[str, set] = {}
+        body = list(tree.body)
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body = body[1:]  # module docstring
+        for node in body:
+            if (
+                isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and node.name in registered
+            ):
+                fns[node.name] = ast.dump(node)
+                refs[node.name] = {
+                    n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+                }
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                continue
+            else:
+                residue.append(ast.dump(node))
+        return fns, residue, refs
+
+    old_fns, old_residue, _ = split(old_tree)
+    new_fns, new_residue, new_refs = split(new_tree)
+    if old_residue != new_residue:
+        return None
+    changed = {
+        n
+        for n in set(old_fns) | set(new_fns)
+        if old_fns.get(n) != new_fns.get(n)
+    }
+    while True:  # transitive closure over intra-module references
+        more = {
+            n
+            for n, names in new_refs.items()
+            if n not in changed and names & changed
+        }
+        if not more:
+            return changed
+        changed |= more
+
 
 _CHANGED_MEMO: dict[str, set] = {}
 
@@ -137,12 +201,14 @@ def _changed_since_checked(history: dict[str, int]) -> set[str]:
         # hash -> round: walk history oldest-first; 'round N:' driver
         # commits close round N, so subsequent commits are round N+1.
         commit_round: dict[str, int] = {}
+        markers: dict[int, str] = {}  # round N -> its closing commit
         rnd = 1
         for line in git("log", "--reverse", "--format=%H %s").splitlines():
             h, _, subj = line.partition(" ")
             commit_round[h] = rnd
             m = re.match(r"round (\d+):", subj)
             if m:
+                markers[int(m.group(1))] = h
                 rnd = int(m.group(1)) + 1
         current_round = rnd
 
@@ -175,13 +241,47 @@ def _changed_since_checked(history: dict[str, int]) -> set[str]:
                     mod_round[mod] = commit_round.get(out, 0)
             return mod_round[mod]
 
+        reg_by_module: dict[str, set] = {}
+        for spec in _REGISTRY.values():
+            reg_by_module.setdefault(spec.fn.__module__, set()).add(
+                spec.fn.__name__
+            )
+
+        fine_memo: dict[tuple, Optional[set]] = {}
+
+        def fine_changed(mod: str, checked: int) -> Optional[set]:
+            """Registered-fn names in `mod` changed since round
+            `checked`'s marker tree (the tree the driver adjudicated),
+            or None -> promote the module's whole backlog (marker or
+            old blob unavailable, or module-level residue changed)."""
+            key = (mod, checked)
+            if key not in fine_memo:
+                out: Optional[set] = None
+                marker = markers.get(checked)
+                rel = mod.replace(".", "/") + ".py"
+                if marker is not None:
+                    try:
+                        old_src = git("show", f"{marker}:{rel}")
+                        with open(os.path.join(root, rel)) as f:
+                            new_src = f.read()
+                        out = _changed_functions(
+                            old_src, new_src, reg_by_module.get(mod, set())
+                        )
+                    except Exception:
+                        out = None
+                fine_memo[key] = out
+            return fine_memo[key]
+
         changed: set[str] = set()
         for name, spec in _REGISTRY.items():
             checked = history.get(name)
             if checked is None:
                 continue  # tier 1 handles never-checked
-            if module_round(spec.fn.__module__) > checked:
-                changed.add(name)
+            mod = spec.fn.__module__
+            if module_round(mod) > checked:
+                fine = fine_changed(mod, checked)
+                if fine is None or spec.fn.__name__ in fine:
+                    changed.add(name)
         _CHANGED_MEMO[memo_key] = changed
         return changed
     except Exception:

@@ -23,6 +23,19 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _drain_deferred_caches():
+    """Release builder caches deferred by
+    caching.materialize_unpersist(defer=True) after every test — the
+    production drain points are the driver-contract wrapper and the
+    bench loop; in the suite, the test boundary is the equivalent
+    'result has been collected' point."""
+    yield
+    from confluent_example_firehose_spark.caching import drain_pending
+
+    drain_pending()
+
+
 @pytest.fixture
 def lazy_caching(monkeypatch):
     """Plan-shape tests need the PRE-materialization plan: the
@@ -35,5 +48,7 @@ def lazy_caching(monkeypatch):
     import confluent_example_firehose_spark.caching as caching
 
     monkeypatch.setattr(
-        caching, "materialize_unpersist", lambda result, *cached: result
+        caching,
+        "materialize_unpersist",
+        lambda result, *cached, **_kw: result,
     )

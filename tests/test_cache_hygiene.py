@@ -55,10 +55,20 @@ def _persistent_ids(spark) -> dict[int, "object"]:
 
 @pytest.mark.parametrize("name", PERSISTING)
 def test_no_leaked_persists(spark, sf_dir, name):
+    """After collect + the next drain point, zero non-checkpoint cache
+    residue. Queries on the r11 DEFERRED path (materialize_unpersist
+    defer=True) hold their builder caches until drain_pending() — the
+    production drain points are the driver-contract wrapper, the bench
+    loop, and the suite's per-test autouse fixture — so the property
+    is asserted exactly where the production session would stand
+    before the NEXT query runs."""
+    from confluent_example_firehose_spark.caching import drain_pending
+
     before = set(_persistent_ids(spark))
     fns = query_fns()
     df = fns[name](spark, sf_dir)
     df.collect()
+    drain_pending()
     leaked = []
     for rid, jrdd in _persistent_ids(spark).items():
         if rid in before:
@@ -67,8 +77,8 @@ def test_no_leaked_persists(spark, sf_dir, name):
             leaked.append(rid)
     assert not leaked, (
         f"{name} left non-checkpoint persisted RDDs {leaked} — a "
-        "builder cache outlived the query; release it via "
-        "caching.materialize_unpersist"
+        "builder cache outlived the query+drain lifecycle; release it "
+        "via caching.materialize_unpersist / drain_pending"
     )
 
 

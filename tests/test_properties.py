@@ -1564,3 +1564,55 @@ def test_histogram_percentiles_match_rank_model(spark, cents):
             true_c,
         )
     assert row["n"] == n
+
+
+fp_pool = st.sampled_from(
+    # tight cluster (many within-radius + exact-duplicate classes),
+    # a far value, and sign-bit extremes (fingerprints are signed
+    # 64-bit longs in Spark)
+    [0, 1, 3, 7, 0xFF, 1 << 35, -1, -2, (1 << 63) - 1, -(1 << 63)]
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    fps=st.lists(fp_pool, min_size=1, max_size=14),
+    radius=st.sampled_from([0, 1, 3, 7]),
+    n_blocks=st.sampled_from([4, 8]),
+)
+def test_simhash_contraction_equals_direct_pairing(
+    spark, fps, radius, n_blocks
+):
+    """VERDICT r10 item 1 law: equivalence-class contraction is
+    output-invariant — simhash_pairs_contracted on an arbitrary
+    (_id, fp) table equals the brute-force all-pairs model
+    {(a, b, d) : a < b, d = popcount(fp_a XOR fp_b) <= radius}.
+    radius is capped below n_blocks on the 4-block runs so the
+    pigeonhole full-recall precondition holds (d < n_blocks)."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        fp_classes,
+        simhash_pairs_contracted,
+    )
+
+    radius = min(radius, n_blocks - 1)
+    mask = (1 << 64) - 1
+    want = {
+        (a, b, bin((fps[a] ^ fps[b]) & mask).count("1"))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin((fps[a] ^ fps[b]) & mask).count("1") <= radius
+    }
+    fp = spark.createDataFrame(
+        list(enumerate(fps)), "_id long, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_contracted(
+            fp,
+            fp_classes(fp),
+            radius=radius,
+            n_blocks=n_blocks,
+            max_bucket=64,
+        ).collect()
+    }
+    assert got == want

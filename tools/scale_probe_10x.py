@@ -15,13 +15,18 @@ itself. Every other table is symlinked unchanged.
 
 Usage: python tools/scale_probe_10x.py [--copies=N] [query ...]
 
---copies=N (default 10) clones N disjoint copies instead — r10 uses
+--copies=N (default 10) clones N disjoint copies instead — r10 used
 --copies=100 to push a dedup headliner past its banding cap's design
 point (q_dedup_simhash8's SIMHASH8_BUCKET_CAP=4096 engages at ~500k
-docs/shard = exactly 100 x sf0.1's 50k docs), exercising the strict
-over-cap raise path on real data rather than by unit test. A raise
-from the recall-contract guard is a CONTRACTED outcome and is printed
-as such, not a crash.
+docs/shard = exactly 100 x sf0.1's 5,000 docs; ADVICE r10 corrected
+the earlier 50k misstatement here to match SCALE.md), exercising the
+strict over-cap raise path on real data rather than by unit test. A
+raise from the recall-contract guard is a CONTRACTED outcome and is
+printed as such, not a crash. Since r11 the equivalence-class
+contraction (dedup.simhash_pairs_contracted) makes the all-duplicates
+clone COMPLETE instead: the cap sees one representative per distinct
+fingerprint, so the same --copies=100 run is now the completion-path
+measurement, not a raise demonstration.
 
 --state-rows additionally prints each instrumented streaming
 operator's stored-state row count (operators.sketch_stream_queries
