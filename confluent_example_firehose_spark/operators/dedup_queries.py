@@ -175,32 +175,98 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold — pairs AT the 0.2 boundary are probabilistic by
     LSH's nature and absent from this corpus. DuckDB's O(n^2) oracle
     is feasible only at smoke scale (~2.5k docs); the Spark side never
-    materializes pairs outside collided buckets."""
+    materializes pairs outside collided buckets.
+
+    Since r11 (VERDICT r10 item 1, the MinHash leg): the pipeline
+    first contracts IDENTICAL-TEXT mass into equivalence classes on an
+    md5 content fingerprint — the same duplicate-skew completion path
+    as q_dedup_simhash, and the same md5-fp trade q_dedup_exact
+    already makes. Only one REPRESENTATIVE per class is shingled,
+    minhashed, banded, and verified (at a 100x-duplicated corpus this
+    divides the signature compute by the duplication factor);
+    within-class pairs are emitted arithmetically at jac = 1.0
+    (identical text => identical shingle set), and cross-class rep
+    pairs expand to member pairs through two fp-keyed joins (Jaccard
+    is a function of the two shingle SETS, so every member pair
+    inherits its class pair's value). Output-invariant — and it
+    CLOSES a silent recall hole: exact-duplicate mass used to blow
+    the 64-id band-bucket cap and get DROPPED (the documented
+    boilerplate trade eating the wrong corpus shape); now the cap
+    sees one representative per class and guards only genuine
+    near-dup-diversity skew. Scale shape: the class agg is map-side
+    combining on (cfp, doc_id, text) — duplicate text collapses
+    BEFORE the shuffle — and the member table (doc_id, cfp) never
+    carries text; no new text-sized shuffle anywhere."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    # Shingle-hash table computed ONCE and persisted: it feeds the LSH
-    # candidate pipeline AND both sides of the Jaccard verify join
-    # (three plan branches). Verify intersects HASHED shingles (longs)
-    # — same Jaccard modulo 64-bit collisions, far cheaper at scale.
-    sh = doc_shingle_hashes(d, "doc_id", "text", out="sh").persist()
+    # Shingleable docs only (>= 3 words), the same population the
+    # shingle pipeline and the oracle's len(ws) >= 3 filter keep —
+    # classes built from a wider population would emit within-class
+    # pairs the oracle excludes.
+    flt = d.filter(F.size(words("text")) >= 3).select(
+        "doc_id", "text", F.md5("text").alias("cfp")
+    )
+    members = flt.select("doc_id", "cfp")
+    classes = flt.groupBy("cfp").agg(
+        F.min("doc_id").alias("_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.count(F.lit(1)).alias("_n"),
+    ).persist()
+    # Shingle-hash table over REPRESENTATIVES ONLY, persisted: it
+    # feeds the LSH candidate pipeline AND both sides of the Jaccard
+    # verify join (three plan branches). Verify intersects HASHED
+    # shingles (longs) — same Jaccard modulo 64-bit collisions, far
+    # cheaper at scale.
+    sh = doc_shingle_hashes(
+        classes.select("_id", "text"), "_id", "text", out="sh"
+    ).persist()
     cands = minhash_candidate_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, shingles=sh
+        None, "_id", "text", num_hashes=32, bands=8, shingles=sh
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
-    from ..caching import materialize_unpersist
-
-    # defer=True (VERDICT r10 item 3): the r10 eager checkpoint cost a
-    # measured ~0.06 s on this bench headline; the cache now releases
-    # at the next drain point instead of on the timed path.
-    return materialize_unpersist(
+    rep_ids = classes.select("_id", "cfp")
+    rep_pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b", jaccard(F.col("sha"), F.col("shb")).alias("jac")
         )
         .filter(F.col("jac") >= 0.2)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jac")),
+        .join(rep_ids.select(F.col("_id").alias("id_a"),
+                             F.col("cfp").alias("cfp_a")), "id_a")
+        .join(rep_ids.select(F.col("_id").alias("id_b"),
+                             F.col("cfp").alias("cfp_b")), "id_b")
+        .select("cfp_a", "cfp_b", "jac")
+    )
+    self_pairs = classes.filter(F.col("_n") >= 2).select(
+        F.col("cfp").alias("cfp_a"),
+        F.col("cfp").alias("cfp_b"),
+        F.lit(1.0).alias("jac"),
+    )
+    ma = members.select(F.col("doc_id").alias("mid_a"),
+                        F.col("cfp").alias("cfp_a"))
+    mb = members.select(F.col("doc_id").alias("mid_b"),
+                        F.col("cfp").alias("cfp_b"))
+    from ..caching import materialize_unpersist
+
+    # defer=True (VERDICT r10 item 3): the r10 eager checkpoint cost a
+    # measured ~0.06 s on this bench headline; the cache now releases
+    # at the next drain point instead of on the timed path.
+    return materialize_unpersist(
+        rep_pairs.unionByName(self_pairs)
+        .join(ma, "cfp_a")
+        .join(mb, "cfp_b")
+        .filter(
+            (F.col("cfp_a") != F.col("cfp_b"))
+            | (F.col("mid_a") < F.col("mid_b"))
+        )
+        .select(
+            F.least("mid_a", "mid_b").alias("id_a"),
+            F.greatest("mid_a", "mid_b").alias("id_b"),
+            F.round("jac", 6).alias("jac"),
+        ),
         sh,
+        classes,
         defer=True,
     )
 

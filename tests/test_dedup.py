@@ -307,3 +307,27 @@ def test_contraction_strict_guard_still_fires_on_diversity_skew(spark):
         simhash_pairs_contracted(
             fp, fp_classes(fp), radius=3, max_bucket=8
         ).collect()
+
+
+def test_dedup_near_completes_under_duplicate_skew(spark, tmp_path):
+    """The MinHash leg of the r11 contraction (VERDICT r10 item 1):
+    exact-duplicate mass far beyond the 64-id band-bucket cap used to
+    be silently DROPPED (every band bucket of the duplicated text
+    blows the cap); the md5-class contraction emits all within-class
+    pairs arithmetically at jac = 1.0 and keeps the cap for genuine
+    near-dup diversity. 100 identical docs + 1 near-dup neighbour:
+    expect all C(100,2) = 4950 exact pairs AND the 100 cross pairs to
+    the neighbour."""
+    from confluent_example_firehose_spark.registry import query_fns
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(100)] + [(100, base + " tail")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = query_fns()["q_dedup_near"](spark, str(tmp_path)).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in out if r["jac"] == 1.0}
+    cross = {(r["id_a"], r["id_b"]) for r in out if r["jac"] < 1.0}
+    assert exact == {(a, b) for a in range(100) for b in range(a + 1, 100)}
+    assert cross == {(a, 100) for a in range(100)}
+    assert all(r["jac"] >= 0.2 for r in out)

@@ -55,6 +55,7 @@ BASE = "/root/testdata/sf0.1"
 COPIES = 10
 CLONE_TABLES: set | None = None  # None = clone every _CLONES table
 STATE_ROWS = False
+MATERIALIZE = "collect"
 for _a in list(sys.argv[1:]):
     if _a.startswith("--copies="):
         COPIES = int(_a.split("=", 1)[1])
@@ -66,6 +67,16 @@ for _a in list(sys.argv[1:]):
         sys.argv.remove(_a)
     elif _a == "--state-rows":
         STATE_ROWS = True
+        sys.argv.remove(_a)
+    elif _a.startswith("--materialize="):
+        # count|collect (default collect, the historical probe shape).
+        # Use count for output-QUADRATIC probes: the r11 contraction
+        # makes the 100x all-duplicates clone COMPLETE, and its answer
+        # is ~25M pair rows — driver-collecting that measures CPython
+        # row materialization, not the engine. Both legs of a run use
+        # the same materialization, so step ratios stay comparable
+        # within the run (noted in SCALE.md where it changes a row).
+        MATERIALIZE = _a.split("=", 1)[1]
         sys.argv.remove(_a)
 CLONE = f"/tmp/sf0.1_x{COPIES}"
 
@@ -163,7 +174,11 @@ def main() -> None:
         for d in (BASE, CLONE):
             t0 = time.monotonic()
             try:
-                fns[name](spark, d).collect()
+                out = fns[name](spark, d)
+                if MATERIALIZE == "count":
+                    print(f"  [{name} @ {d}: {out.count()} rows]")
+                else:
+                    out.collect()
             except Exception as e:  # noqa: BLE001
                 msg = str(e)
                 if "bucket" in msg and (
