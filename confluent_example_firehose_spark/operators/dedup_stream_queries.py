@@ -119,28 +119,45 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     only strictly-earlier state, so each epoch's output is independent
     of row interleaving inside epochs.
 
-    Scale shape: per-epoch maintenance is ONE batch scan -> shingle ->
-    32-minhash fold -> 8 band rows per doc appended (history never
-    re-shingled); the probe touches the index ONLY at the batch's own
-    band buckets (the state read is semi-joined to the batch's bucket
-    set before anything else — at 100 TB the band state is
-    bucket-partitioned so this is |batch x 8| bucket lookups, the
-    classic LSH serving story), with a {NEAR_STREAM_BUCKET_CAP}-id
-    state-occupancy cap per bucket (the q_dedup_near skew trade,
-    vacuous at test SFs and therefore absent from the oracle). The
-    verify join fetches shingle sets for candidate ids only. The
-    per-epoch collect is OUTPUT-sized (the verified near-dup pairs the
-    epoch emits — the rows the caller receives anyway), never
-    state-sized or batch-sized; a production sink would append them to
-    a parquet hits relation instead of the driver log. Reference
-    parity: dedup-at-ingest generalizes the reference's keyed
-    first-seen state (AbstractPrometheusFirehose.java:41-51) from
-    exact keys to near-duplicate text."""
+    Since r11 the index is CONTRACTED on an md5 content fingerprint
+    (VERDICT r10 item 1 at ingest — the r10 probe measured the
+    uncontracted index emitting ZERO rows on a 100x-duplicated clone,
+    every bucket suppressed by the occupancy cap): only the FIRST
+    arrival of each distinct content is shingled, minhashed, and
+    banded; later identical arrivals are resolved by one fp lookup.
+    Five state relations: members (doc_id, cfp, b_id — corpus-linear,
+    3 narrow columns, never text), classes (cfp, rep_id), rep band
+    postings + rep shingle sets (both scaled by CONTENT DIVERSITY,
+    not corpus size — the heavy arrays no longer grow with duplicate
+    mass), and verified class-pairs (cfp, other, jac; both
+    orientations). A class pair is verified exactly once — when its
+    younger class first arrives (candidates always have one
+    new-this-epoch side, so no pair is ever re-verified) — and member
+    pairs inherit the class pair's Jaccard (a function of the two
+    shingle SETS), same-class pairs being jac = 1.0 by identity.
+
+    Scale shape: per-epoch maintenance is ONE batch scan -> fp ->
+    map-side-combining class agg -> shingle/32-minhash/8-band fold
+    over NEW classes only; the probe touches the index ONLY at the
+    new classes' band buckets, with the {NEAR_STREAM_BUCKET_CAP}-CLASS
+    occupancy cap now counting distinct contents per bucket (genuine
+    near-dup-diversity skew — exact-duplicate mass can no longer
+    consume cap budget or suppress buckets). Emission is two equi-
+    joins against strictly-earlier members. The per-epoch collect is
+    OUTPUT-sized (the verified near-dup pairs the epoch emits — the
+    rows the caller receives anyway), never state-sized or
+    batch-sized; a production sink would append them to a parquet
+    hits relation instead of the driver log. Reference parity:
+    dedup-at-ingest generalizes the reference's keyed first-seen
+    state (AbstractPrometheusFirehose.java:41-51) from exact keys to
+    near-duplicate text."""
     import os
     import shutil
     import tempfile
 
     from pyspark.sql import types as T
+
+    from .dedup import words
 
     rows_per_band = NEAR_STREAM_HASHES // NEAR_STREAM_BANDS
     d = (
@@ -151,8 +168,11 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="dedup_near_stream_")
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
+        mem_state = os.path.join(root, "members")
+        cls_state = os.path.join(root, "classes")
         bands_state = os.path.join(root, "bands")
         sh_state = os.path.join(root, "shingles")
+        cp_state = os.path.join(root, "class_pairs")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -166,81 +186,176 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = epoch[0]
             epoch[0] += 1
             _assert_batch_membership(batch_df, b)
-            sh_b = doc_shingle_hashes(
-                batch_df, "doc_id", "text", out="sh"
-            ).withColumn("b_id", F.lit(b))
-            sig = sh_b.select(
-                "_id",
-                "b_id",
+            # Shingleable docs only (>= 3 words) — the population the
+            # oracle's len(ws) >= 3 filter keeps.
+            flt = batch_df.filter(F.size(words("text")) >= 3).select(
+                "doc_id", "text", F.md5("text").alias("cfp")
+            )
+            members_b = (
+                flt.select("doc_id", "cfp").withColumn("b_id", F.lit(b))
+            ).persist()
+            # First-seen classes this epoch: map-side-combining agg
+            # (duplicate text collapses before the shuffle), then one
+            # left_anti against the class state.
+            agg_b = flt.groupBy("cfp").agg(
+                F.min("doc_id").alias("rep_id"),
+                F.min_by("text", "doc_id").alias("text"),
+            )
+            if os.path.isdir(cls_state):
+                new_cls = agg_b.join(
+                    s.read.parquet(cls_state), "cfp", "left_anti"
+                )
+            else:
+                new_cls = agg_b
+            new_cls = new_cls.persist()
+            # Shingle/signature/bands for NEW classes only — history
+            # AND duplicate mass are never re-shingled.
+            sh_n = doc_shingle_hashes(
+                new_cls.select("cfp", "text"), "cfp", "text", out="sh"
+            ).select(F.col("_id").alias("cfp"), "sh").persist()
+            sig = sh_n.select(
+                "cfp",
                 minhash_signature(
                     F.col("sh"), NEAR_STREAM_HASHES
                 ).alias("_sig"),
             )
-            banded = sig.select(
-                "_id",
-                "b_id",
+            bands_n = sig.select(
+                "cfp",
                 F.explode(
                     lsh_bands(
                         F.col("_sig"), NEAR_STREAM_BANDS, rows_per_band
                     )
-                ).alias("b"),
-            ).select("_id", "b_id", "b.band_id", "b.band_hash")
-            # Maintain the index FIRST (write is an action; both the
-            # batch's postings and shingles are computed exactly once),
-            # then probe it with a strictly-earlier b_id filter — the
-            # state row's own batch tag keeps within-batch pairs out.
-            banded.write.mode("append").parquet(bands_state)
-            sh_b.write.mode("append").parquet(sh_state)
-
-            new_bands = s.read.parquet(bands_state).filter(
-                F.col("b_id") == b
-            )
-            st_hit = (
-                s.read.parquet(bands_state)
-                .filter(F.col("b_id") < b)
-                # touch the index only at the batch's own buckets
-                .join(
-                    new_bands.select("band_id", "band_hash").distinct(),
-                    ["band_id", "band_hash"],
+                ).alias("bb"),
+            ).select("cfp", "bb.band_id", "bb.band_hash")
+            # Candidate CLASS pairs: new classes probe the rep band
+            # index (state plus this epoch's new reps — pairs among
+            # two new classes must be verified now so later members
+            # can expand them) only at their own buckets; the
+            # occupancy cap counts CLASSES per bucket.
+            all_bands = bands_n
+            if os.path.isdir(bands_state):
+                all_bands = s.read.parquet(bands_state).unionByName(
+                    bands_n
                 )
+            hit = all_bands.join(
+                bands_n.select("band_id", "band_hash").distinct(),
+                ["band_id", "band_hash"],
             )
             occ_ok = (
-                st_hit.groupBy("band_id", "band_hash")
+                hit.groupBy("band_id", "band_hash")
                 .agg(F.count("*").alias("n"))
                 .filter(F.col("n") <= NEAR_STREAM_BUCKET_CAP)
                 .select("band_id", "band_hash")
             )
-            cands = (
-                new_bands.select(
-                    "band_id", "band_hash", F.col("_id").alias("doc_id")
+            cand = (
+                bands_n.select(
+                    "band_id", "band_hash", F.col("cfp").alias("cfp_n")
                 )
-                .join(st_hit.join(occ_ok, ["band_id", "band_hash"]),
-                      ["band_id", "band_hash"])
-                .select("doc_id", F.col("_id").alias("dup_of"))
+                .join(
+                    hit.join(occ_ok, ["band_id", "band_hash"]).select(
+                        "band_id", "band_hash",
+                        F.col("cfp").alias("cfp_o"),
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .filter(F.col("cfp_n") != F.col("cfp_o"))
+                .select(
+                    F.least("cfp_n", "cfp_o").alias("cfp_a"),
+                    F.greatest("cfp_n", "cfp_o").alias("cfp_b"),
+                )
                 .distinct()
             )
-            sh_all = s.read.parquet(sh_state)
-            new_sh = sh_all.filter(F.col("b_id") == b).select(
-                F.col("_id").alias("doc_id"), F.col("sh").alias("sh_n")
-            )
-            old_sh = sh_all.filter(F.col("b_id") < b).select(
-                F.col("_id").alias("dup_of"), F.col("sh").alias("sh_o")
-            )
-            hits = (
-                cands.join(new_sh, "doc_id")
-                .join(old_sh, "dup_of")
+            # Verify once per class pair on rep shingle sets; every
+            # candidate has a new-this-epoch side, so no pair is ever
+            # verified twice.
+            sh_all = sh_n
+            if os.path.isdir(sh_state):
+                sh_all = s.read.parquet(sh_state).unionByName(sh_n)
+            pv = (
+                cand.join(
+                    sh_all.select(
+                        F.col("cfp").alias("cfp_a"),
+                        F.col("sh").alias("sha"),
+                    ),
+                    "cfp_a",
+                )
+                .join(
+                    sh_all.select(
+                        F.col("cfp").alias("cfp_b"),
+                        F.col("sh").alias("shb"),
+                    ),
+                    "cfp_b",
+                )
                 .select(
-                    "doc_id",
-                    "dup_of",
+                    "cfp_a",
+                    "cfp_b",
                     F.round(
-                        jaccard(F.col("sh_n"), F.col("sh_o")), 6
+                        jaccard(F.col("sha"), F.col("shb")), 6
                     ).alias("jac"),
                 )
                 .filter(F.col("jac") >= NEAR_STREAM_JAC)
-                .collect()
             )
-            for r in sorted(hits, key=lambda r: (r["doc_id"], r["dup_of"])):
-                log.append((b, r["doc_id"], r["dup_of"], r["jac"]))
+            cp_new = (
+                pv.select(
+                    F.col("cfp_a").alias("cfp"),
+                    F.col("cfp_b").alias("other"),
+                    "jac",
+                )
+                .unionByName(
+                    pv.select(
+                        F.col("cfp_b").alias("cfp"),
+                        F.col("cfp_a").alias("other"),
+                        "jac",
+                    )
+                )
+            ).persist()
+            # Emit BEFORE appending members: the member state is then
+            # exactly the strictly-earlier arrivals. Same-class pairs
+            # are jac = 1.0 by identity; cross-class pairs inherit the
+            # class pair's Jaccard.
+            if os.path.isdir(mem_state):
+                old_m = s.read.parquet(mem_state)
+                same = (
+                    members_b.select("doc_id", "cfp")
+                    .join(
+                        old_m.select(
+                            F.col("doc_id").alias("dup_of"), "cfp"
+                        ),
+                        "cfp",
+                    )
+                    .select(
+                        "doc_id", "dup_of", F.lit(1.0).alias("jac")
+                    )
+                )
+                cp_all = cp_new
+                if os.path.isdir(cp_state):
+                    cp_all = s.read.parquet(cp_state).unionByName(cp_new)
+                cross = (
+                    members_b.select("doc_id", "cfp")
+                    .join(cp_all, "cfp")
+                    .join(
+                        old_m.select(
+                            F.col("doc_id").alias("dup_of"),
+                            F.col("cfp").alias("other"),
+                        ),
+                        "other",
+                    )
+                    .select("doc_id", "dup_of", "jac")
+                )
+                hits = same.unionByName(cross).collect()
+                for r in sorted(
+                    hits, key=lambda r: (r["doc_id"], r["dup_of"])
+                ):
+                    log.append((b, r["doc_id"], r["dup_of"], r["jac"]))
+            members_b.write.mode("append").parquet(mem_state)
+            bands_n.write.mode("append").parquet(bands_state)
+            sh_n.write.mode("append").parquet(sh_state)
+            new_cls.select("cfp", "rep_id").write.mode("append").parquet(
+                cls_state
+            )
+            cp_new.write.mode("append").parquet(cp_state)
+            for c in (members_b, new_cls, sh_n, cp_new):
+                c.unpersist()
 
         q = (
             stream.writeStream.foreachBatch(per_batch)
@@ -249,18 +364,29 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        # Index-state size law (the family's LAST_STATE_ROWS
-        # instrumentation): unlike the compacted sketches, an LSH
-        # index is LINEAR by design — exactly NEAR_STREAM_BANDS
-        # posting rows and one shingle row per ingested (shingleable)
-        # doc, never pair-quadratic. Pinned by tests/test_dedup_stream.
+        # Index-state size laws (the family's LAST_STATE_ROWS
+        # instrumentation), r11 contracted form: the member map is
+        # LINEAR in the corpus (3 narrow columns, never text); the
+        # heavy relations — band postings (NEAR_STREAM_BANDS rows per
+        # class) and shingle sets (one per class) — scale with CONTENT
+        # DIVERSITY; class pairs are 2x the verified near-dup class
+        # relationships. Pinned by tests/test_dedup_stream.
         from .sketch_stream_queries import LAST_STATE_ROWS
 
+        LAST_STATE_ROWS["q_dedup_near_stream_members"] = (
+            spark.read.parquet(mem_state).count()
+        )
+        LAST_STATE_ROWS["q_dedup_near_stream_classes"] = (
+            spark.read.parquet(cls_state).count()
+        )
         LAST_STATE_ROWS["q_dedup_near_stream_bands"] = (
             spark.read.parquet(bands_state).count()
         )
         LAST_STATE_ROWS["q_dedup_near_stream_shingles"] = (
             spark.read.parquet(sh_state).count()
+        )
+        LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] = (
+            spark.read.parquet(cp_state).count()
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -39,12 +39,15 @@ def test_stream_equals_cross_batch_subset_of_batch_dedup(
     assert streamed == batch
 
 
-def test_index_state_linear_in_corpus(spark, sf_dir, fns):
-    """The maintained LSH index is LINEAR in the ingested corpus:
-    exactly NEAR_STREAM_BANDS posting rows and one shingle-set row per
-    shingleable doc (non-null text, >= 3 words) — never candidate- or
-    pair-sized. The family's LAST_STATE_ROWS pin, in the form that
-    fits an index (linear bound) rather than a sketch (constant)."""
+def test_index_state_laws(spark, sf_dir, fns):
+    """r11 contracted-index state laws: the member map is LINEAR in
+    the ingested corpus (one 3-column row per shingleable doc — never
+    text, never pair-sized), while the HEAVY relations scale with
+    CONTENT DIVERSITY — one shingle-set row and NEAR_STREAM_BANDS
+    posting rows per DISTINCT content, so exact-duplicate mass adds
+    zero index weight (the r10 probe measured the per-doc form at
+    4,000,000 band rows on a 100x clone; the contracted form stores
+    40,000)."""
     from pyspark.sql import functions as F
 
     from confluent_example_firehose_spark.catalog import load_table
@@ -56,17 +59,30 @@ def test_index_state_linear_in_corpus(spark, sf_dir, fns):
     )
 
     fns["q_dedup_near_stream"](spark, sf_dir).collect()
-    eligible = (
+    shingleable = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
-        .count()
     )
-    assert LAST_STATE_ROWS["q_dedup_near_stream_shingles"] == eligible
+    eligible = shingleable.count()
+    distinct_contents = (
+        shingleable.select(F.md5("text")).distinct().count()
+    )
+    assert LAST_STATE_ROWS["q_dedup_near_stream_members"] == eligible
+    assert (
+        LAST_STATE_ROWS["q_dedup_near_stream_classes"]
+        == distinct_contents
+    )
+    assert (
+        LAST_STATE_ROWS["q_dedup_near_stream_shingles"]
+        == distinct_contents
+    )
     assert (
         LAST_STATE_ROWS["q_dedup_near_stream_bands"]
-        == NEAR_STREAM_BANDS * eligible
+        == NEAR_STREAM_BANDS * distinct_contents
     )
+    # class-pair state: both orientations of each verified class pair
+    assert LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] % 2 == 0
 
 
 def test_stream_orientation_and_threshold(spark, sf_dir, fns):
