@@ -581,3 +581,281 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(log, schema)
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_stream: incremental duplicate-cluster maintenance at ingest
+# ---------------------------------------------------------------------------
+
+# Final union-find state of the last q_cluster_stream run, exposed for
+# the cross-operator law test (stream final state == q_dedup_clusters'
+# batch connected components) — window-bounded (<= PAIR_CAP rows), the
+# same instrumentation stance as LAST_STATE_ROWS.
+LAST_CLUSTER_STATE: list = []
+
+
+def _cluster_stream_oracle() -> str:
+    """DuckDB replay of at-arrival cluster assignment: for each epoch k
+    the clustering over ALL docs arrived so far (b <= k), emitting only
+    epoch k's own docs — one recursive min-label CTE per epoch, the
+    q_dedup_clusters oracle parameterized by arrival prefix."""
+    from .curation_queries import CLUSTER_JACCARD
+    from .dedup_queries import PAIR_CAP
+
+    blocks = []
+    selects = []
+    for k in range(SK_BATCHES):
+        blocks.append(
+            f"""
+    arr{k} AS (SELECT doc_id, b, ws FROM w WHERE b <= {k}),
+    pairs{k} AS (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM arr{k} a, arr{k} c
+        WHERE a.doc_id < c.doc_id
+          AND CAST(len(list_intersect(a.ws, c.ws)) AS DOUBLE)
+              / (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws)))
+              >= {CLUSTER_JACCARD}
+    ),
+    e{k}(src, dst) AS (
+        SELECT id_a, id_b FROM pairs{k}
+        UNION ALL SELECT id_b, id_a FROM pairs{k}
+    ),
+    reach{k}(id, comp) AS (
+        SELECT doc_id, doc_id FROM arr{k}
+        UNION
+        SELECT e.dst, r.comp FROM reach{k} r JOIN e{k} e ON e.src = r.id
+    ),
+    comp{k} AS (SELECT id, min(comp) AS comp FROM reach{k} GROUP BY id)"""
+        )
+        selects.append(
+            f"""SELECT CAST({k} AS BIGINT) AS batch_id,
+           CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(c.comp AS BIGINT) AS cluster_id
+    FROM arr{k} a JOIN comp{k} c ON c.id = a.doc_id WHERE a.b = {k}"""
+        )
+    w = f"""
+    w AS (
+        SELECT doc_id, doc_id % {SK_BATCHES} AS b,
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(text),
+                                         '[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '')) AS ws
+        FROM documents WHERE doc_id < {PAIR_CAP}
+    ),"""
+    return (
+        "WITH RECURSIVE"
+        + w
+        + ",".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@register("q_cluster_stream", oracle=_cluster_stream_oracle())
+def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-CLUSTER maintenance at ingest — the
+    transitive-closure member of the streaming dedup family (detection:
+    q_dedup_near_stream; clustering: here; admission: q_curation_stream;
+    batch twin: q_dedup_clusters). Documents arrive as SK_BATCHES
+    micro-batches (doc_id % SK_BATCHES); each foreachBatch epoch
+    discovers its batch's near-dup edges (word-set Jaccard >=
+    CLUSTER_JACCARD over the PAIR_CAP-bounded demo window — the
+    q_dedup_clusters trade that keeps the DuckDB recursive-CTE oracle
+    exact; at 100 TB the edges are the contracted LSH ingest index's
+    verified pairs, q_dedup_near_stream, and everything downstream of
+    edge discovery here is unchanged), merges them into a maintained
+    union-find root map, and emits each arrival's AT-ARRIVAL cluster
+    assignment: (batch_id, doc_id, cluster_id) with cluster_id = the
+    minimum doc_id reachable among docs arrived so far — the serving
+    answer "which existing duplicate cluster does this doc join".
+    Later merges intentionally do not re-emit earlier docs (the root
+    map holds the live clustering; the emission is the arrival ledger).
+
+    The incremental step is the root-CONTRACTED delta CC: new edges are
+    relabeled through the current roots (state roots are already the
+    min-label of their component), so each epoch's connected_components
+    call runs on a graph whose nodes are this batch's docs plus the
+    TOUCHED state roots only — per-epoch CC cost scales with new-edge
+    count, never corpus size, and history is never re-paired (each
+    cross-epoch pair is discovered exactly once, when its younger doc
+    arrives). State relations: roots (doc_id, root — corpus-LINEAR, 2
+    narrow columns) and the word sets needed for edge discovery
+    (window-bounded here; the production edge source is the contracted
+    LSH index, which stores per-CLASS shingles — see
+    q_dedup_near_stream). The root-map rewrite per epoch is
+    window-sized here via the rename-swap compact helper; the 100 TB
+    shape partitions the root map by root and rewrites only merged
+    roots' partitions. Reference parity: generalizes the reference's
+    keyed first-seen state (AbstractPrometheusFirehose.java:41-51) from
+    per-key last-value to cross-key equivalence classes.
+
+    Determinism: min-label is associative/commutative; each epoch's
+    output depends only on the arrival partition, not row interleaving.
+    Hash-checked vs the per-epoch recursive-CTE replay; the final root
+    map's equality with q_dedup_clusters' batch CC is a separate law
+    pin (tests/test_dedup_stream.py), as is the linear state law."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .curation_queries import CLUSTER_JACCARD, connected_components
+    from .dedup import jaccard, words
+    from .dedup_queries import PAIR_CAP
+    from .sketch_stream_queries import compact_state
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PAIR_CAP)
+        .select(
+            "doc_id", F.array_distinct(words("text")).alias("ws")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cluster_stream_")
+    try:
+        stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
+        ws_state = os.path.join(root, "ws")
+        roots_state = os.path.join(root, "roots")
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list = []
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, _bid: int) -> None:
+            s = batch_df.sparkSession
+            b = epoch[0]
+            epoch[0] += 1
+            _assert_batch_membership(batch_df, b)
+            ws_b = batch_df.select("doc_id", "ws").persist()
+            # Edge discovery: batch x arrived-so-far (incl. the batch
+            # itself — within-batch dups must cluster now). The demo
+            # window is <= PAIR_CAP docs, so the nested-loop join is
+            # broadcast-tiny by construction; at scale this stage is
+            # replaced by the contracted LSH index probe.
+            all_ws = ws_b
+            if os.path.isdir(ws_state):
+                all_ws = s.read.parquet(ws_state).unionByName(ws_b)
+            n = ws_b.select(
+                F.col("doc_id").alias("id_n"), F.col("ws").alias("wn")
+            )
+            o = all_ws.select(
+                F.col("doc_id").alias("id_o"), F.col("ws").alias("wo")
+            )
+            edges_doc = (
+                F.broadcast(n)
+                .join(o, F.col("id_n") != F.col("id_o"))
+                .filter(
+                    jaccard(F.col("wn"), F.col("wo")) >= CLUSTER_JACCARD
+                )
+                .select("id_n", "id_o")
+            )
+            # Relabel endpoints through the current roots: batch docs
+            # root to themselves (not yet in state), state docs to
+            # their maintained min-label. The contracted edge set then
+            # spans only touched roots + batch ids.
+            if os.path.isdir(roots_state):
+                st_roots = s.read.parquet(roots_state)
+            else:
+                st_roots = s.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("doc_id", T.LongType()),
+                            T.StructField("root", T.LongType()),
+                        ]
+                    ),
+                )
+            o_root = st_roots.select(
+                F.col("doc_id").alias("id_o"),
+                F.col("root").alias("root_o"),
+            )
+            e_roots = (
+                edges_doc.join(o_root, "id_o", "left")
+                .select(
+                    F.col("id_n").alias("src"),
+                    F.coalesce("root_o", "id_o").alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .persist()
+            )
+            delta_nodes = (
+                ws_b.select(F.col("doc_id").alias("id"))
+                .unionByName(e_roots.select(F.col("src").alias("id")))
+                .unionByName(e_roots.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            delta_edges = e_roots.unionByName(
+                e_roots.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            labels = connected_components(delta_nodes, delta_edges)
+            e_roots.unpersist()
+            # Batch arrivals: at-arrival assignment == delta comp.
+            batch_roots = (
+                ws_b.select("doc_id")
+                .join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+                .select("doc_id", F.col("comp").alias("root"))
+                .persist()
+            )
+            hits = batch_roots.collect()
+            for r in sorted(hits, key=lambda r: r["doc_id"]):
+                log.append((b, r["doc_id"], r["root"]))
+            # State maintenance: merged state roots relabel through the
+            # delta labels (only touched roots change); batch labels
+            # append. Window-sized rename-swap here; partition-by-root
+            # selective rewrite at scale.
+            upd = (
+                st_roots.join(
+                    labels.withColumnRenamed("id", "root"),
+                    "root",
+                    "left",
+                )
+                .select(
+                    "doc_id", F.coalesce("comp", "root").alias("root")
+                )
+                .unionByName(batch_roots)
+            )
+            if os.path.isdir(roots_state):
+                compact_state(upd, roots_state)
+            else:
+                upd.write.parquet(roots_state)
+            ws_b.write.mode("append").parquet(ws_state)
+            for c in (ws_b, batch_roots):
+                c.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(root, "chk")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        final_roots = spark.read.parquet(roots_state)
+        LAST_STATE_ROWS["q_cluster_stream_roots"] = final_roots.count()
+        LAST_STATE_ROWS["q_cluster_stream_ws"] = (
+            spark.read.parquet(ws_state).count()
+        )
+        LAST_CLUSTER_STATE.clear()
+        LAST_CLUSTER_STATE.extend(
+            (r["doc_id"], r["root"]) for r in final_roots.collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)

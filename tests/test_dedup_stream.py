@@ -139,3 +139,51 @@ def test_curation_stream_admits_what_batch_curation_keeps(
         for r in fns["q_corpus_curation"](spark, sf_dir).collect()
     )
     assert total_admitted == batch_kept
+
+
+def test_cluster_stream_final_state_equals_batch_cc(spark, sf_dir, fns):
+    """Cross-operator law: after all epochs, the maintained union-find
+    root map equals q_dedup_clusters' batch connected components —
+    incremental root-contracted merging converges to exactly the
+    one-shot transitive closure (same window, same edge predicate)."""
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
+        LAST_CLUSTER_STATE,
+    )
+
+    fns["q_cluster_stream"](spark, sf_dir).collect()
+    streamed = dict(LAST_CLUSTER_STATE)
+    batch = {
+        r["doc_id"]: r["cluster_id"]
+        for r in fns["q_dedup_clusters"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_cluster_stream_state_linear_and_at_arrival(spark, sf_dir, fns):
+    """State law: the root map and word-set state hold exactly one row
+    per ingested window doc (corpus-linear, never pair-sized). Output
+    law: an at-arrival assignment can only point at an already-arrived
+    doc — cluster_id <= doc_id (the doc itself is in its component)
+    and the cluster head's arrival epoch never exceeds the doc's."""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.dedup_queries import (
+        PAIR_CAP,
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (  # noqa: E501
+        LAST_STATE_ROWS,
+    )
+
+    rows = fns["q_cluster_stream"](spark, sf_dir).collect()
+    window_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PAIR_CAP)
+        .count()
+    )
+    assert LAST_STATE_ROWS["q_cluster_stream_roots"] == window_docs
+    assert LAST_STATE_ROWS["q_cluster_stream_ws"] == window_docs
+    assert len(rows) == window_docs
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["cluster_id"] % SK_BATCHES <= r["batch_id"]
