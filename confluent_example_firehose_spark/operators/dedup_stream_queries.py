@@ -1,7 +1,8 @@
-"""Corpus admission control AT INGEST — the dedup and curation members
-of the streaming-maintenance family (sketches: bloom/cms/hll/quantile;
-lexical index: q_index_stream; vector index: q_ann_index_stream;
-near-dup index + quality/dedup admission here complete the set). The reference engine's premise is incremental
+"""Corpus dedup and admission control AT INGEST — the dedup, clustering,
+and curation members of the streaming-maintenance family (sketches:
+bloom/cms/hll/quantile; lexical index: q_index_stream; vector index:
+q_ann_index_stream; near-dup index, duplicate-cluster union-find, and
+quality/dedup admission here complete the set). The reference engine's premise is incremental
 keyed state over a micro-batched ingest
 (`AbstractPrometheusFirehose.java:41-51`,
 `AbstractFirehose.java:107-131`); this is its dedup-index analogue and
