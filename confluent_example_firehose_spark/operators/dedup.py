@@ -426,6 +426,44 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# Adaptive-contraction thresholds (r11, the cost-based plan choice):
+# contraction pays for itself when duplicate mass is material, and is
+# REQUIRED for completion when a single class could approach a bucket
+# cap; on a (near-)duplicate-free corpus its class census + expansion
+# joins are pure fixed overhead (measured at sf0.1: ~+0.4-0.7 s on the
+# two dedup bench headliners for 8 duplicate docs out of 5,000).
+CONTRACT_DUP_FRAC = 0.125  # contract when >1/8 of rows are duplicates
+
+
+def contraction_worthwhile(n_rows: int, n_distinct: int) -> bool:
+    """Decide contraction from two scalars a single partial aggregate
+    produces (count + approx_count_distinct — no value shuffle, no
+    second pass): contract when the duplicate fraction clears
+    CONTRACT_DUP_FRAC — from there the expansion joins beat
+    re-shingling/re-pairing the duplicate mass, and every
+    duplicate-SKEWED corpus (the 100x-clone completion shape) is far
+    above the line. Duplicate-free corpora go direct — the decision is
+    output-invariant either way (the contraction == direct-pairing
+    law, tests/test_dedup.py); this picks only the cheaper plan.
+
+    Deliberately NOT conditioned on a max-class-size bound: the
+    worst-case bound (n - d + 1) is swamped by the distinct-count
+    estimator's error whenever duplicates are few, exactly where it
+    would matter — so the residual shape (ONE over-cap duplicate class
+    inside immaterial total duplicate mass) stays with the direct
+    path's own guards: the strict pigeonhole raise (loud, names the
+    remediation) for SimHash, and the documented 64-id boilerplate
+    drop trade for the LSH bucket join — the same trade every pre-r11
+    round shipped, now confined to corpora under ~12.5% (minus the
+    pad) duplicate mass. Callers pad the estimate DOWN by 3x its rsd so
+    estimation error can only make the choice MORE eager to
+    contract."""
+    if n_rows <= 0:
+        return False
+    dup_frac = 1.0 - n_distinct / n_rows
+    return dup_frac > CONTRACT_DUP_FRAC
+
+
 def fp_classes(fp: DataFrame) -> DataFrame:
     """Contract a (_id, fp) fingerprint table into equivalence classes
     of IDENTICAL fingerprints: one row per distinct fp with the
@@ -517,6 +555,66 @@ def simhash_pairs_contracted(
             "hamming",
         )
     )
+
+
+def simhash_pairs_adaptive(
+    fp: DataFrame,
+    radius: int,
+    n_blocks: int = 4,
+    max_bucket: int = 256,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """All document pairs within the Hamming radius, with the
+    contraction decision made from the data (the r11 cost-based plan
+    choice): one 1-row aggregate over the persisted fingerprint table
+    (count + approx_count_distinct — partial HLL, NO value shuffle; an
+    exact countDistinct measured ~+0.4 s of decision overhead at sf0.1
+    while the approx agg is free within noise) feeds
+    contraction_worthwhile; duplicate-heavy corpora take
+    simhash_pairs_contracted (completion under duplicate skew),
+    (near-)duplicate-free corpora take the direct pigeonhole pipeline
+    and skip the class census + expansion joins entirely (measured
+    ~+0.7 s of pure overhead at a duplicate-free sf0.1). The distinct
+    estimate is PADDED DOWN by 3x the 2% rsd before the rule, so
+    estimation error can only make the choice MORE eager to contract —
+    never a silent direct-path drop on a dup-heavy corpus; the strict
+    guard stays as the loud backstop. Output is identical on both
+    branches (the contraction == direct-pairing hypothesis law); only
+    the physical plan differs — the engine's own little CBO. Returns
+    (pairs, caches-to-release): the caller owns the persist lifecycle
+    via materialize_unpersist."""
+    fp = fp.persist()
+    stats = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.col("fp"), 0.02).alias("d"),
+    ).first()
+    d_lo = int(stats["d"] * (1 - 3 * 0.02))
+    if contraction_worthwhile(stats["n"], d_lo):
+        classes = fp_classes(fp).persist()
+        return (
+            simhash_pairs_contracted(
+                fp, classes, radius, n_blocks=n_blocks,
+                max_bucket=max_bucket,
+            ),
+            [fp, classes],
+        )
+    cands = simhash_candidate_pairs(
+        fp, n_blocks=n_blocks, max_bucket=max_bucket
+    )
+    a = fp.select(F.col("_id").alias("id_a"), F.col("fp").alias("fpa"))
+    b = fp.select(F.col("_id").alias("id_b"), F.col("fp").alias("fpb"))
+    direct = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("fpa"), F.col("fpb"))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+    return direct, [fp]
 
 
 def bucket_pairs_refined(

@@ -9,14 +9,14 @@ from ..catalog import load_table
 from ..registry import register
 from .dedup import (
     bucket_pairs_refined,
+    contraction_worthwhile,
     doc_shingle_hashes,
     fan_out,
-    fp_classes,
     jaccard,
     minhash_candidate_pairs,
     portable_hash60,
     simhash_fingerprints,
-    simhash_pairs_contracted,
+    simhash_pairs_adaptive,
     words,
 )
 
@@ -177,26 +177,30 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     is feasible only at smoke scale (~2.5k docs); the Spark side never
     materializes pairs outside collided buckets.
 
-    Since r11 (VERDICT r10 item 1, the MinHash leg): the pipeline
-    first contracts IDENTICAL-TEXT mass into equivalence classes on an
-    md5 content fingerprint — the same duplicate-skew completion path
-    as q_dedup_simhash, and the same md5-fp trade q_dedup_exact
-    already makes. Only one REPRESENTATIVE per class is shingled,
-    minhashed, banded, and verified (at a 100x-duplicated corpus this
-    divides the signature compute by the duplication factor);
-    within-class pairs are emitted arithmetically at jac = 1.0
-    (identical text => identical shingle set), and cross-class rep
-    pairs expand to member pairs through two fp-keyed joins (Jaccard
-    is a function of the two shingle SETS, so every member pair
-    inherits its class pair's value). Output-invariant — and it
-    CLOSES a silent recall hole: exact-duplicate mass used to blow
-    the 64-id band-bucket cap and get DROPPED (the documented
-    boilerplate trade eating the wrong corpus shape); now the cap
-    sees one representative per class and guards only genuine
-    near-dup-diversity skew. Scale shape: the class agg is map-side
-    combining on (cfp, doc_id, text) — duplicate text collapses
-    BEFORE the shuffle — and the member table (doc_id, cfp) never
-    carries text; no new text-sized shuffle anywhere."""
+    Since r11 (VERDICT r10 item 1, the MinHash leg): the pipeline is
+    ADAPTIVE on duplicate mass (dedup.contraction_worthwhile — a 1-row
+    count/countDistinct aggregate over md5 content fingerprints, the
+    same md5-fp trade q_dedup_exact already makes). Duplicate-heavy
+    corpora first contract IDENTICAL-TEXT mass into equivalence
+    classes: only one REPRESENTATIVE per class is shingled, minhashed,
+    banded, and verified (at a 100x-duplicated corpus this divides the
+    signature compute by the duplication factor); within-class pairs
+    are emitted arithmetically at jac = 1.0 (identical text =>
+    identical shingle set), and cross-class rep pairs expand to member
+    pairs through two fp-keyed joins (Jaccard is a function of the two
+    shingle SETS, so every member pair inherits its class pair's
+    value). That CLOSES a silent recall hole: exact-duplicate mass
+    used to blow the 64-id band-bucket cap and get DROPPED (the
+    documented boilerplate trade eating the wrong corpus shape); the
+    cap sees one representative per class and guards only genuine
+    near-dup-diversity skew. (Near-)duplicate-free corpora keep the
+    direct pipeline — the class census + two expansion joins are pure
+    overhead there (a measured ~+0.4 s at sf0.1's 8 duplicate docs in
+    5,000). Output-invariant on both branches. Scale shape
+    (contracted): the class agg is map-side combining on (cfp, doc_id,
+    text) — duplicate text collapses BEFORE the shuffle — and the
+    member table (doc_id, cfp) never carries text; no new text-sized
+    shuffle anywhere."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # Shingleable docs only (>= 3 words), the same population the
     # shingle pipeline and the oracle's len(ws) >= 3 filter keep —
@@ -204,7 +208,46 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs the oracle excludes.
     flt = d.filter(F.size(words("text")) >= 3).select(
         "doc_id", "text", F.md5("text").alias("cfp")
-    )
+    ).persist()
+    from ..caching import materialize_unpersist
+
+    # approx_count_distinct: partial HLL, no value shuffle (an exact
+    # countDistinct cost ~+0.4 s of decision overhead at sf0.1); the
+    # estimate is padded DOWN 3x its 2% rsd so error can only make the
+    # choice more eager to contract — never a silent direct-path drop.
+    stats = flt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.col("cfp"), 0.02).alias("dn"),
+    ).first()
+    if not contraction_worthwhile(
+        stats["n"], int(stats["dn"] * (1 - 3 * 0.02))
+    ):
+        # Direct pipeline (the pre-r11 plan): shingle every doc, one
+        # bucket shuffle, verify on hashed shingles; the 64-id
+        # boilerplate drop trade applies, now confined to corpora with
+        # immaterial duplicate mass (contraction_worthwhile docstring).
+        sh = doc_shingle_hashes(
+            flt.select("doc_id", "text"), "doc_id", "text", out="sh"
+        ).persist()
+        cands = minhash_candidate_pairs(
+            None, "doc_id", "text", num_hashes=32, bands=8, shingles=sh
+        )
+        a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sha"))
+        b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("shb"))
+        return materialize_unpersist(
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sha"), F.col("shb")).alias("jac"),
+            )
+            .filter(F.col("jac") >= 0.2)
+            .select("id_a", "id_b", F.round("jac", 6).alias("jac")),
+            sh,
+            flt,
+            defer=True,
+        )
     members = flt.select("doc_id", "cfp")
     classes = flt.groupBy("cfp").agg(
         F.min("doc_id").alias("_id"),
@@ -247,8 +290,6 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("cfp").alias("cfp_a"))
     mb = members.select(F.col("doc_id").alias("mid_b"),
                         F.col("cfp").alias("cfp_b"))
-    from ..caching import materialize_unpersist
-
     # defer=True (VERDICT r10 item 3): the r10 eager checkpoint cost a
     # measured ~0.06 s on this bench headline; the cache now releases
     # at the next drain point instead of on the timed path.
@@ -267,6 +308,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sh,
         classes,
+        flt,
         defer=True,
     )
 
@@ -336,31 +378,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     store content-addressable fingerprints: any engine can reproduce
     them from text alone.
 
-    Since r11 (VERDICT r10 item 1) the pairing runs through
-    equivalence-class CONTRACTION (dedup.simhash_pairs_contracted):
-    identical fingerprints collapse to one representative before the
-    pigeonhole buckets, so a duplicate-heavy corpus — the shape the
-    100x-clone probe showed firing the strict raise at 4,100-id
-    buckets — COMPLETES with full recall instead; the cap now guards
-    only genuine fingerprint-diversity skew. Output-invariant (the
-    hypothesis law in tests/test_dedup.py pins contraction == direct
-    pairing on arbitrary corpora), so the r5 oracle is unchanged."""
+    Since r11 (VERDICT r10 item 1) the pairing is ADAPTIVE
+    (dedup.simhash_pairs_adaptive): a 1-row count/countDistinct
+    aggregate over the fingerprints picks the plan — duplicate-heavy
+    corpora contract identical fingerprints into equivalence classes
+    before the pigeonhole buckets (the shape the 100x-clone probe
+    showed firing the strict raise at 4,100-id buckets now COMPLETES
+    with full recall; the cap guards only genuine
+    fingerprint-diversity skew), while (near-)duplicate-free corpora
+    keep the direct pipeline and skip the class census + expansion
+    joins (pure overhead there — a measured ~+0.7 s at sf0.1's 8
+    duplicate docs). Output-invariant on both branches (the hypothesis
+    law in tests/test_dedup.py pins contraction == direct pairing on
+    arbitrary corpora), so the r5 oracle is unchanged."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    # fp feeds the class contraction + both expansion joins; classes
-    # feeds blocking, both rep-verify joins, and the self-pair branch.
-    # Persist both so the scan->shingle->UDF subtree runs once. (At
-    # cluster scale: MEMORY_AND_DISK; fp is one 16-byte row per doc,
-    # classes one row per DISTINCT fingerprint — the contracted size.)
-    fp = simhash_fingerprints(d, "doc_id", "text", portable=True).persist()
-    classes = fp_classes(fp).persist()
+    fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
+    pairs, caches = simhash_pairs_adaptive(fp, radius=3)
     from ..caching import materialize_unpersist
 
-    return materialize_unpersist(
-        simhash_pairs_contracted(fp, classes, radius=3),
-        fp,
-        classes,
-        defer=True,
-    )
+    return materialize_unpersist(pairs, *caches, defer=True)
 
 
 @register("q_dedup_simhash8", oracle=_simhash_pairs_oracle(7))
@@ -385,24 +421,19 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way since r5 (portable fingerprints; oracle enumerates all
     d <= 7 pairs; see q_dedup_simhash).
 
-    Since r11, pairing goes through the same equivalence-class
-    contraction as q_dedup_simhash (see there): the ~500k-uniform-doc
-    coverage bound above now counts DISTINCT fingerprints, not docs —
-    exact-duplicate mass no longer consumes cap budget at all."""
+    Since r11, pairing goes through the same ADAPTIVE contraction as
+    q_dedup_simhash (see there): under duplicate skew the ~500k-
+    uniform-doc coverage bound above counts DISTINCT fingerprints, not
+    docs — exact-duplicate mass no longer consumes cap budget at all —
+    and duplicate-free corpora keep the direct plan."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    fp = simhash_fingerprints(d, "doc_id", "text", portable=True).persist()
-    classes = fp_classes(fp).persist()
+    fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
+    pairs, caches = simhash_pairs_adaptive(
+        fp, radius=7, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP
+    )
     from ..caching import materialize_unpersist
 
-    return materialize_unpersist(
-        simhash_pairs_contracted(
-            fp, classes, radius=7, n_blocks=8,
-            max_bucket=SIMHASH8_BUCKET_CAP,
-        ),
-        fp,
-        classes,
-        defer=True,
-    )
+    return materialize_unpersist(pairs, *caches, defer=True)
 
 
 # 8-bit pigeonhole blocks collide at ~n/256 per bucket; this cap keeps

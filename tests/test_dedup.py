@@ -331,3 +331,65 @@ def test_dedup_near_completes_under_duplicate_skew(spark, tmp_path):
     assert exact == {(a, b) for a in range(100) for b in range(a + 1, 100)}
     assert cross == {(a, 100) for a in range(100)}
     assert all(r["jac"] >= 0.2 for r in out)
+
+
+def test_contraction_decision_rule():
+    """The r11 adaptive gate's pure rule (dedup.contraction_worthwhile):
+    contract on material duplicate mass (>1/8); (near-)duplicate-free
+    corpora go direct — the residual over-cap-class-in-tiny-dup-mass
+    shape stays with the direct path's own guards (strict raise /
+    documented drop trade). Anchored to the two real corpus shapes:
+    sf0.1 (8 dups in 5,000, even 3x-rsd-padded -> direct) and the
+    100x clone (99% dups -> contract)."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        contraction_worthwhile as cw,
+    )
+
+    assert not cw(5000, 4992)  # sf0.1: direct
+    assert not cw(5000, int(4992 * 0.94))  # sf0.1 with the caller pad
+    assert cw(500000, 5000)  # 100x all-duplicates clone
+    assert cw(100, 10)  # 90% duplicate mass
+    assert not cw(0, 0)
+    assert not cw(1000, 1000)  # duplicate-free
+
+
+def test_simhash_adaptive_equals_contracted_on_both_shapes(spark):
+    """simhash_pairs_adaptive is plan choice only: on a duplicate-free
+    table (direct branch) and a duplicate-heavy one (contracted
+    branch) its pair set equals simhash_pairs_contracted's — the glue
+    (column names, radius filter, cache list) cannot drift between
+    branches."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        fp_classes,
+        simhash_pairs_adaptive,
+        simhash_pairs_contracted,
+    )
+
+    shapes = [
+        # duplicate-free (large enough that the 3x-rsd pad cannot flip
+        # the branch): 60 distinct single-bit fps, all pairwise d=2
+        ([(i, 1 << i) for i in range(60)], 1),
+        # duplicate-heavy: 20 copies of one fp + 2 near fps
+        (
+            [(i, 0b1111) for i in range(20)]
+            + [(100, 0b1110), (101, 0b0111)],
+            2,
+        ),
+    ]
+    for rows, n_caches in shapes:
+        fp = spark.createDataFrame(rows, ["_id", "fp"])
+        got, caches = simhash_pairs_adaptive(fp, radius=3)
+        # cache-list length proves which branch ran: direct persists
+        # only fp, contracted also persists the class census
+        assert len(caches) == n_caches
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in got.collect()}
+        classes = fp_classes(fp).persist()
+        want = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs_contracted(
+                fp, classes, radius=3
+            ).collect()
+        }
+        for c in caches + [classes]:
+            c.unpersist()
+        assert got == want
