@@ -252,3 +252,106 @@ def q_quality_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "q_quality_source_norm",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+                   AS score
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[ \\t\\n\\r\\f\\v]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        )
+        WHERE len(ws) > 0
+    ),
+    p AS (
+        SELECT doc_id, source, score,
+               percent_rank() OVER (PARTITION BY source ORDER BY score)
+                   AS pct
+        FROM s
+    )
+    SELECT doc_id, source, score, round(pct, 6) AS src_pct
+    FROM p WHERE pct >= 0.5
+    """,
+)
+def q_quality_source_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality normalization: rank each document's quality
+    score (type-token ratio, the q_text_quality kernel's ttr) WITHIN
+    its source and keep the top half per source — the curation move
+    that stops a global quality threshold from draining low-register
+    sources wholesale and over-admitting high-register ones (the
+    source-bias failure a mixed pre-training corpus filter must
+    avoid; FineWeb/CCNet-style pipelines normalize per dump/domain
+    for exactly this reason).
+
+    Semantics: percent_rank PARTITION BY source ORDER BY score (ties
+    share the min rank — a pure function of the score multiset, no
+    arbitrary tiebreak), keep src_pct >= 0.5. Scores are rounded to
+    6 dp BEFORE ranking on both engines so the tie structure is
+    identical.
+
+    Scale shape — the HISTOGRAM contraction (same move as the r11
+    dedup contraction, applied to ranking): a naive per-source window
+    sorts every document of a source in one task, the classic hot-key
+    hazard when one source is half the corpus. Instead the score
+    histogram (source, score -> count) is built with a map-side-
+    combining agg — bounded by distinct ROUNDED scores per source,
+    not docs — the window runs over histogram rows only (strictly-
+    lower cumulative count / (n_src - 1) IS percent_rank under
+    ORDER BY score, because ties share the min rank), and per-doc
+    ranks come back via one (source, score) equi-join. Every shuffle
+    is histogram- or doc-row-sized with no per-source sort of the
+    corpus; single-doc sources get pct 0.0 (both engines'
+    percent_rank convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    d = d.withColumn("ws", ws).filter(F.size("ws") > 0)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct("ws")).cast("double")
+            / F.size("ws"),
+            6,
+        ).alias("score"),
+    )
+    hist = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_ord = (
+        W.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = hist.select(
+        "source",
+        "score",
+        F.coalesce(F.sum("c").over(w_ord), F.lit(0)).alias("below"),
+        F.sum("c").over(w_all).alias("n_src"),
+    ).select(
+        "source",
+        "score",
+        F.when(F.col("n_src") > 1,
+               F.col("below") / (F.col("n_src") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct"),
+    )
+    return (
+        scored.join(ranked, ["source", "score"])
+        .filter(F.col("pct") >= 0.5)
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.round("pct", 6).alias("src_pct"),
+        )
+    )

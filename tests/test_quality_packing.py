@@ -82,3 +82,50 @@ def test_epoch_shuffle_is_deterministic(spark, sf_dir):
     for shard, batches in by_shard.items():
         partial = [r for r in batches if r[2] != BATCH_SIZE]
         assert len(partial) <= 1
+
+
+def test_source_norm_histogram_equals_direct_window(spark, sf_dir):
+    """The histogram-contracted percent_rank (window over per-source
+    DISTINCT scores + cumulative counts, then join back) equals the
+    direct per-doc window percent_rank PARTITION BY source ORDER BY
+    score — the law that lets the operator avoid sorting a hot
+    source's every document in one task. Ties share the min rank in
+    both formulations, so equality is exact, not approximate."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.dedup import words
+    from confluent_example_firehose_spark.registry import query_fns
+
+    got = {
+        (r["doc_id"], r["score"], r["src_pct"])
+        for r in query_fns()["q_quality_source_norm"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("ws", words("text")).filter(F.size("ws") > 0)
+    direct = (
+        d.select(
+            "doc_id",
+            "source",
+            F.round(
+                F.size(F.array_distinct("ws")).cast("double")
+                / F.size("ws"),
+                6,
+            ).alias("score"),
+        )
+        .withColumn(
+            "pct",
+            F.percent_rank().over(
+                W.partitionBy("source").orderBy("score")
+            ),
+        )
+        .filter(F.col("pct") >= 0.5)
+    )
+    want = {
+        (r["doc_id"], r["score"], round(r["pct"], 6))
+        for r in direct.collect()
+    }
+    assert got == want
