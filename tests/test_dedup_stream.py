@@ -187,3 +187,27 @@ def test_cluster_stream_state_linear_and_at_arrival(spark, sf_dir, fns):
     for r in rows:
         assert r["cluster_id"] <= r["doc_id"]
         assert r["cluster_id"] % SK_BATCHES <= r["batch_id"]
+
+
+def test_cluster_stream_giant_cluster_skew(spark, tmp_path):
+    """Duplicate-skew shape for the ingest clusterer: a window that is
+    ONE giant near-dup cluster (every doc identical) arriving across
+    all epochs. Every arrival must resolve to cluster 0 at arrival
+    (epoch 0 seeds it; later epochs' delta CC contracts to the single
+    touched root), and the final root map is the one-component
+    clustering — the root-contracted delta graph never exceeds
+    (batch + 1) nodes no matter how many members the cluster has."""
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
+        LAST_CLUSTER_STATE,
+    )
+    from confluent_example_firehose_spark.registry import query_fns
+
+    text = "all work and no play makes a dull corpus indeed"
+    rows = [(i, text) for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = query_fns()["q_cluster_stream"](spark, str(tmp_path)).collect()
+    assert len(out) == 40
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert dict(LAST_CLUSTER_STATE) == {i: 0 for i in range(40)}
