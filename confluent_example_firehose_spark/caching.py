@@ -66,12 +66,25 @@ def drain_pending() -> int:
     """Release every deferred builder cache. Called at query start by
     the driver-contract wrapper (__spark_entry__), between bench runs,
     and by the test harness teardown; returns the number released."""
+    from pyspark.sql import SparkSession
+
     n = 0
     while _PENDING:
         c = _PENDING.pop()
         try:
             c.unpersist()
         except Exception:
-            pass  # session already stopped — nothing to release
+            # Tolerate ONLY the stopped/replaced-session case (a test
+            # harness tearing down between queries, or a stale frame
+            # from a prior session drained after a new one started);
+            # an unpersist failure on a frame of the LIVE session means
+            # broken driver state the next query must not silently
+            # inherit (ADVICE r11).
+            try:
+                alive = c.sparkSession is SparkSession.getActiveSession()
+            except Exception:
+                alive = False
+            if alive:
+                raise
         n += 1
     return n

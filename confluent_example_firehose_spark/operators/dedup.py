@@ -433,6 +433,23 @@ def hamming64(a: Column, b: Column) -> Column:
 # joins are pure fixed overhead (measured at sf0.1: ~+0.4-0.7 s on the
 # two dedup bench headliners for 8 duplicate docs out of 5,000).
 CONTRACT_DUP_FRAC = 0.125  # contract when >1/8 of rows are duplicates
+DUP_STATS_RSD = 0.02  # approx_count_distinct rsd for the decision agg
+
+
+def adaptive_dup_stats(df: DataFrame, col: str) -> tuple:
+    """The adaptive gate's single decision aggregate, shared by every
+    contraction call site so the rsd and pad can never drift apart:
+    (row count, distinct estimate padded DOWN by 3x the rsd). The pad
+    makes estimation error one-sided — it can only overstate duplicate
+    mass, i.e. make contraction_worthwhile MORE eager to contract,
+    never flip a duplicate-heavy corpus onto the direct path. One
+    partial agg, no value shuffle (an exact countDistinct here
+    measured ~+0.4 s at sf0.1)."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.col(col), DUP_STATS_RSD).alias("d"),
+    ).first()
+    return r["n"], int(r["d"] * (1 - 3 * DUP_STATS_RSD))
 
 
 def contraction_worthwhile(n_rows: int, n_distinct: int) -> bool:
@@ -583,12 +600,8 @@ def simhash_pairs_adaptive(
     (pairs, caches-to-release): the caller owns the persist lifecycle
     via materialize_unpersist."""
     fp = fp.persist()
-    stats = fp.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.col("fp"), 0.02).alias("d"),
-    ).first()
-    d_lo = int(stats["d"] * (1 - 3 * 0.02))
-    if contraction_worthwhile(stats["n"], d_lo):
+    n, d_lo = adaptive_dup_stats(fp, "fp")
+    if contraction_worthwhile(n, d_lo):
         classes = fp_classes(fp).persist()
         return (
             simhash_pairs_contracted(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
+    adaptive_dup_stats,
     bucket_pairs_refined,
     contraction_worthwhile,
     doc_shingle_hashes,
@@ -211,17 +212,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     from ..caching import materialize_unpersist
 
-    # approx_count_distinct: partial HLL, no value shuffle (an exact
-    # countDistinct cost ~+0.4 s of decision overhead at sf0.1); the
-    # estimate is padded DOWN 3x its 2% rsd so error can only make the
+    # Shared decision agg (dedup.adaptive_dup_stats): partial HLL, no
+    # value shuffle, estimate padded down so error can only make the
     # choice more eager to contract — never a silent direct-path drop.
-    stats = flt.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.col("cfp"), 0.02).alias("dn"),
-    ).first()
-    if not contraction_worthwhile(
-        stats["n"], int(stats["dn"] * (1 - 3 * 0.02))
-    ):
+    if not contraction_worthwhile(*adaptive_dup_stats(flt, "cfp")):
         # Direct pipeline (the pre-r11 plan): shingle every doc, one
         # bucket shuffle, verify on hashed shingles; the 64-id
         # boilerplate drop trade applies, now confined to corpora with

@@ -29,14 +29,28 @@ from .dedup import (
 from .sketch_stream_queries import SK_BATCHES, stage_key_batches
 
 NEAR_STREAM_JAC = 0.2  # same verify threshold as q_dedup_near
+
+# Stored class-pair relation of the last q_dedup_near_stream run, for
+# the law test (both orientations present; every cross-class emission
+# maps into it) — SF-test-bounded, same stance as LAST_CLUSTER_STATE.
+LAST_CLASS_PAIRS: list = []
 NEAR_STREAM_HASHES = 32  # same 32-minhash / 8-band scheme
 NEAR_STREAM_BANDS = 8
-# State-bucket skew cap, the q_dedup_near trade at ingest: a band
-# bucket whose STATE occupancy exceeds this is skipped for candidate
-# probing (degenerate boilerplate band -> O(k) candidates per new doc,
-# forever). Vacuous at the test SFs (no bucket approaches it — the
-# same stance as q_dedup_near's max_bucket=64 and the ER over-cap
-# route); the oracle therefore replays the uncapped semantics.
+# Bucket skew cap, the q_dedup_near trade at ingest. Since the r11
+# contraction the count is distinct CONTENTS (classes) per band
+# bucket, measured over state PLUS the probing epoch's new classes —
+# the bucket's true candidate-generation cost this epoch (new-vs-new
+# class pairs must be verified on arrival, so they occupy the bucket
+# too). A bucket over the cap is skipped for the epoch, and because a
+# class pair is verified only when its younger class arrives, a
+# suppressed bucket's pairs stay unverified — the same permanence any
+# occupancy cap has on a grow-only index (the pre-r11 per-doc form
+# suppressed every later arrival at that bucket too, and duplicate
+# MASS can no longer be what fills it). Vacuous at the test SFs (no
+# bucket approaches 64 distinct near-dup contents — the q_dedup_near
+# max_bucket=64 stance); the oracle therefore replays the uncapped
+# semantics, and a corpus where the cap engages is the documented
+# boilerplate-band recall trade, not a silent bug.
 NEAR_STREAM_BUCKET_CAP = 64
 
 # Admitted-fp state compaction cadence (ADVICE r10 item 2): appended
@@ -141,9 +155,12 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining class agg -> shingle/32-minhash/8-band fold
     over NEW classes only; the probe touches the index ONLY at the
     new classes' band buckets, with the {NEAR_STREAM_BUCKET_CAP}-CLASS
-    occupancy cap now counting distinct contents per bucket (genuine
-    near-dup-diversity skew — exact-duplicate mass can no longer
-    consume cap budget or suppress buckets). Emission is two equi-
+    occupancy cap counting distinct contents per bucket across state
+    PLUS the arriving epoch's classes — the bucket's true candidate
+    cost, see the constant's comment for the exact semantics and the
+    permanence trade (genuine near-dup-diversity skew only —
+    exact-duplicate mass can no longer consume cap budget or suppress
+    buckets). Emission is two equi-
     joins against strictly-earlier members. The per-epoch collect is
     OUTPUT-sized (the verified near-dup pairs the epoch emits — the
     rows the caller receives anyway), never state-sized or
@@ -202,9 +219,23 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("doc_id").alias("rep_id"),
                 F.min_by("text", "doc_id").alias("text"),
             )
+            # EVERY state read below filters b_id < b even though the
+            # dirs only contain earlier epochs at read time: Spark's
+            # parquet writes refreshByPath their target, invalidating
+            # any cached frame whose lineage reads that path — so a
+            # frame recomputed AFTER this epoch's appends (cache
+            # eviction, or the write of a later relation in the
+            # sequence) would silently see its own epoch's rows. The
+            # strictly-earlier filter makes every recompute
+            # self-excluding by construction (ADVICE r11: the
+            # untagged form wrote EMPTY class-pair appends for every
+            # epoch >= 1 — new_cls's left_anti re-read cls_state after
+            # its own append).
             if os.path.isdir(cls_state):
                 new_cls = agg_b.join(
-                    s.read.parquet(cls_state), "cfp", "left_anti"
+                    s.read.parquet(cls_state).filter(F.col("b_id") < b),
+                    "cfp",
+                    "left_anti",
                 )
             else:
                 new_cls = agg_b
@@ -235,8 +266,11 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # occupancy cap counts CLASSES per bucket.
             all_bands = bands_n
             if os.path.isdir(bands_state):
-                all_bands = s.read.parquet(bands_state).unionByName(
-                    bands_n
+                all_bands = (
+                    s.read.parquet(bands_state)
+                    .filter(F.col("b_id") < b)
+                    .select("cfp", "band_id", "band_hash")
+                    .unionByName(bands_n)
                 )
             hit = all_bands.join(
                 bands_n.select("band_id", "band_hash").distinct(),
@@ -271,7 +305,12 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # verified twice.
             sh_all = sh_n
             if os.path.isdir(sh_state):
-                sh_all = s.read.parquet(sh_state).unionByName(sh_n)
+                sh_all = (
+                    s.read.parquet(sh_state)
+                    .filter(F.col("b_id") < b)
+                    .select("cfp", "sh")
+                    .unionByName(sh_n)
+                )
             pv = (
                 cand.join(
                     sh_all.select(
@@ -315,7 +354,9 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # are jac = 1.0 by identity; cross-class pairs inherit the
             # class pair's Jaccard.
             if os.path.isdir(mem_state):
-                old_m = s.read.parquet(mem_state)
+                old_m = s.read.parquet(mem_state).filter(
+                    F.col("b_id") < b
+                )
                 same = (
                     members_b.select("doc_id", "cfp")
                     .join(
@@ -330,7 +371,12 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 cp_all = cp_new
                 if os.path.isdir(cp_state):
-                    cp_all = s.read.parquet(cp_state).unionByName(cp_new)
+                    cp_all = (
+                        s.read.parquet(cp_state)
+                        .filter(F.col("b_id") < b)
+                        .select("cfp", "other", "jac")
+                        .unionByName(cp_new)
+                    )
                 cross = (
                     members_b.select("doc_id", "cfp")
                     .join(cp_all, "cfp")
@@ -349,12 +395,18 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     log.append((b, r["doc_id"], r["dup_of"], r["jac"]))
             members_b.write.mode("append").parquet(mem_state)
-            bands_n.write.mode("append").parquet(bands_state)
-            sh_n.write.mode("append").parquet(sh_state)
-            new_cls.select("cfp", "rep_id").write.mode("append").parquet(
-                cls_state
-            )
-            cp_new.write.mode("append").parquet(cp_state)
+            bands_n.withColumn("b_id", F.lit(b)).write.mode(
+                "append"
+            ).parquet(bands_state)
+            sh_n.withColumn("b_id", F.lit(b)).write.mode(
+                "append"
+            ).parquet(sh_state)
+            new_cls.select("cfp", "rep_id").withColumn(
+                "b_id", F.lit(b)
+            ).write.mode("append").parquet(cls_state)
+            cp_new.withColumn("b_id", F.lit(b)).write.mode(
+                "append"
+            ).parquet(cp_state)
             for c in (members_b, new_cls, sh_n, cp_new):
                 c.unpersist()
 
@@ -386,8 +438,11 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         LAST_STATE_ROWS["q_dedup_near_stream_shingles"] = (
             spark.read.parquet(sh_state).count()
         )
-        LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] = (
-            spark.read.parquet(cp_state).count()
+        cp_rows = spark.read.parquet(cp_state).collect()
+        LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] = len(cp_rows)
+        LAST_CLASS_PAIRS.clear()
+        LAST_CLASS_PAIRS.extend(
+            (r["cfp"], r["other"], r["jac"]) for r in cp_rows
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -345,8 +345,22 @@ def q_quality_source_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("pct"),
     )
+    # Null-SAFE source equality: DuckDB's PARTITION BY groups NULL
+    # sources into one partition and the oracle ranks them; a
+    # null-unsafe equi-join would silently drop those rows from the
+    # Spark side (latent at the shipped SFs — no NULL sources — but a
+    # corpus drift away from a hash mismatch).
+    ranked = ranked.select(
+        F.col("source").alias("r_source"),
+        F.col("score").alias("r_score"),
+        "pct",
+    )
     return (
-        scored.join(ranked, ["source", "score"])
+        scored.join(
+            ranked,
+            F.col("source").eqNullSafe(F.col("r_source"))
+            & (F.col("score") == F.col("r_score")),
+        )
         .filter(F.col("pct") >= 0.5)
         .select(
             "doc_id",

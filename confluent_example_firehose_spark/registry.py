@@ -105,12 +105,16 @@ def _changed_functions(
     fn A's body names changed registered fn B, A promotes too), or
     None — the promote-ALL fallback — when anything outside registered
     function defs changed: module-level constants, non-registered
-    helpers, class defs, oracle scaffolds. Imports and the module
-    docstring are exempt from the residue compare (an import binds a
-    name; it changes another function's behavior only by shadowing a
-    module-level def, and a shadowed def shows up as a residue change).
-    Comparison is ast.dump without attributes, so comment/whitespace/
-    formatting-only edits promote nothing."""
+    helpers, class defs, oracle scaffolds. The module docstring is
+    exempt from the residue compare; imports are exempt for ADDITIONS
+    and REMOVALS only (adding an import for a new function, dropping
+    an unused one — dropping a USED one is a loud module ImportError,
+    never silent) — but a REWIRE, the same bound name now imported
+    from a different source (ADVICE r11: `from .dedup import jaccard`
+    -> `from .textkit import jaccard` changes every caller's behavior
+    with zero AST change in any function), triggers the promote-ALL
+    fallback. Comparison is ast.dump without attributes, so comment/
+    whitespace/formatting-only edits promote nothing."""
     import ast
 
     try:
@@ -122,6 +126,7 @@ def _changed_functions(
         fns: dict[str, str] = {}
         residue: list[str] = []
         refs: dict[str, set] = {}
+        imports: dict[str, tuple] = {}
         body = list(tree.body)
         if (
             body
@@ -139,16 +144,27 @@ def _changed_functions(
                 refs[node.name] = {
                     n.id for n in ast.walk(node) if isinstance(n, ast.Name)
                 }
-            elif isinstance(node, (ast.Import, ast.ImportFrom)):
-                continue
+            elif isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    imports[a.asname or a.name] = (
+                        "from", node.level, node.module or "", a.name
+                    )
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    imports[a.asname or a.name.split(".")[0]] = (
+                        "import", a.name
+                    )
             else:
                 residue.append(ast.dump(node))
-        return fns, residue, refs
+        return fns, residue, refs, imports
 
-    old_fns, old_residue, _ = split(old_tree)
-    new_fns, new_residue, new_refs = split(new_tree)
+    old_fns, old_residue, _, old_imports = split(old_tree)
+    new_fns, new_residue, new_refs, new_imports = split(new_tree)
     if old_residue != new_residue:
         return None
+    for name in set(old_imports) & set(new_imports):
+        if old_imports[name] != new_imports[name]:
+            return None  # import REWIRE: same name, different source
     changed = {
         n
         for n in set(old_fns) | set(new_fns)

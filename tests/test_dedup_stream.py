@@ -58,7 +58,7 @@ def test_index_state_laws(spark, sf_dir, fns):
         LAST_STATE_ROWS,
     )
 
-    fns["q_dedup_near_stream"](spark, sf_dir).collect()
+    out = fns["q_dedup_near_stream"](spark, sf_dir).collect()
     shingleable = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -81,8 +81,36 @@ def test_index_state_laws(spark, sf_dir, fns):
         LAST_STATE_ROWS["q_dedup_near_stream_bands"]
         == NEAR_STREAM_BANDS * distinct_contents
     )
-    # class-pair state: both orientations of each verified class pair
-    assert LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] % 2 == 0
+    # Class-pair state, the REAL law (ADVICE r11 — the old % 2 check
+    # passed on an empty or single-orientation relation): exactly both
+    # orientations of each verified pair, every row at or above the
+    # verify threshold, and every cross-class emission of the run maps
+    # into the relation.
+    from pyspark.sql import functions as F2
+
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
+        LAST_CLASS_PAIRS,
+        NEAR_STREAM_JAC,
+    )
+
+    pairs = {(a, b): j for a, b, j in LAST_CLASS_PAIRS}
+    assert len(pairs) == len(LAST_CLASS_PAIRS)  # no duplicate rows
+    for (a, b), j in pairs.items():
+        assert pairs.get((b, a)) == j  # both orientations, same jac
+        assert j >= NEAR_STREAM_JAC
+    assert (
+        LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] == len(pairs)
+    )
+    fp_of = {
+        r["doc_id"]: r["fp"]
+        for r in shingleable.select(
+            "doc_id", F2.md5("text").alias("fp")
+        ).collect()
+    }
+    for r in out:
+        fa, fb = fp_of[r["doc_id"]], fp_of[r["dup_of"]]
+        if fa != fb:  # cross-class emission must come from the relation
+            assert (fa, fb) in pairs
 
 
 def test_stream_orientation_and_threshold(spark, sf_dir, fns):
@@ -211,3 +239,32 @@ def test_cluster_stream_giant_cluster_skew(spark, tmp_path):
     assert len(out) == 40
     assert all(r["cluster_id"] == 0 for r in out)
     assert dict(LAST_CLUSTER_STATE) == {i: 0 for i in range(40)}
+
+
+def test_class_pair_survives_for_late_members(spark, tmp_path):
+    """Regression pin for the r11 refreshByPath self-inclusion bug:
+    the class pair verified when B first arrives (epoch 1, vs A from
+    epoch 0) must be READ BACK from the persisted relation when a
+    LATER member of B arrives (epoch 2) — the untagged state wrote
+    empty class-pair appends for every epoch >= 1, so the late member
+    silently lost its cross-class emission while all three hash SFs
+    stayed green by corpus luck."""
+    from confluent_example_firehose_spark.registry import query_fns
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(0, a), (5, b), (6, b)]  # epochs 0, 1, 2 via doc_id % 4
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        (r["doc_id"], r["dup_of"]): r["jac"]
+        for r in query_fns()["q_dedup_near_stream"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (5, 0) in out  # B's first arrival pairs with A
+    assert out.get((6, 5)) == 1.0  # late member pairs within class
+    # THE pin: the late member's cross-class emission, which requires
+    # the (B, A) class pair to have survived in cp_state
+    assert (6, 0) in out and out[(6, 0)] == out[(5, 0)]

@@ -129,3 +129,31 @@ def test_source_norm_histogram_equals_direct_window(spark, sf_dir):
         for r in direct.collect()
     }
     assert got == want
+
+
+def test_source_norm_keeps_null_source_partition(spark, tmp_path):
+    """NULL-source docs form their own rank partition in BOTH engines
+    (DuckDB PARTITION BY groups NULLs; Spark too) — the join-back must
+    be null-SAFE or they silently vanish from the Spark side only.
+    Three null-source docs with distinct scores: the top two (pct 0.5
+    and 1.0) must survive."""
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.registry import query_fns
+
+    rows = [
+        (1, "a a a a", None),          # ttr 0.25
+        (2, "a b a b", None),          # ttr 0.5
+        (3, "a b c d", None),          # ttr 1.0
+        (4, "x y z w", "s1"),          # lone doc in s1 -> pct 0
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["src_pct"], r["source"])
+        for r in query_fns()["q_quality_source_norm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {2: (0.5, None), 3: (1.0, None)}

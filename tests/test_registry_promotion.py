@@ -90,3 +90,35 @@ def test_docstring_edit_inside_function_promotes_it():
 
 def test_syntax_error_promotes_all():
     assert _changed_functions(OLD, "def broken(", REGISTERED) is None
+
+
+def test_import_rewire_promotes_all():
+    """ADVICE r11: rebinding an imported name to a DIFFERENT source
+    module changes every caller's behavior with zero function-AST
+    change — the detector must fall back to promote-all. Additions and
+    removals of import names stay exempt (a dropped used import is a
+    loud module ImportError, never silent)."""
+    from confluent_example_firehose_spark.registry import (
+        _changed_functions,
+    )
+
+    old = (
+        "from .dedup import jaccard\n"
+        "def q_a(spark, sf):\n    return jaccard\n"
+    )
+    rewired = (
+        "from .textkit import jaccard\n"
+        "def q_a(spark, sf):\n    return jaccard\n"
+    )
+    added = (
+        "from .dedup import jaccard, words\n"
+        "def q_a(spark, sf):\n    return jaccard\n"
+    )
+    aliased = (
+        "from .dedup import minhash as jaccard\n"
+        "def q_a(spark, sf):\n    return jaccard\n"
+    )
+    assert _changed_functions(old, rewired, {"q_a"}) is None
+    assert _changed_functions(old, aliased, {"q_a"}) is None
+    assert _changed_functions(old, added, {"q_a"}) == set()
+    assert _changed_functions(old, old, {"q_a"}) == set()

@@ -77,6 +77,13 @@ for _a in list(sys.argv[1:]):
         # the same materialization, so step ratios stay comparable
         # within the run (noted in SCALE.md where it changes a row).
         MATERIALIZE = _a.split("=", 1)[1]
+        if MATERIALIZE not in ("count", "collect"):
+            sys.exit(
+                f"--materialize must be count|collect, got "
+                f"{MATERIALIZE!r} (a typo here would silently collect "
+                "the output-quadratic answer and measure CPython row "
+                "materialization instead of the engine)"
+            )
         sys.argv.remove(_a)
 CLONE = f"/tmp/sf0.1_x{COPIES}"
 
