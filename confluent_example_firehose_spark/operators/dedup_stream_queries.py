@@ -792,9 +792,17 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # window is <= PAIR_CAP docs, so the nested-loop join is
             # broadcast-tiny by construction; at scale this stage is
             # replaced by the contracted LSH index probe.
+            # Epoch-tagged read (the refreshByPath self-inclusion
+            # discipline, see q_dedup_near_stream): a recompute after
+            # this epoch's append must not see its own rows.
             all_ws = ws_b
             if os.path.isdir(ws_state):
-                all_ws = s.read.parquet(ws_state).unionByName(ws_b)
+                all_ws = (
+                    s.read.parquet(ws_state)
+                    .filter(F.col("b_id") < b)
+                    .select("doc_id", "ws")
+                    .unionByName(ws_b)
+                )
             n = ws_b.select(
                 F.col("doc_id").alias("id_n"), F.col("ws").alias("wn")
             )
@@ -881,7 +889,9 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 compact_state(upd, roots_state)
             else:
                 upd.write.parquet(roots_state)
-            ws_b.write.mode("append").parquet(ws_state)
+            ws_b.withColumn("b_id", F.lit(b)).write.mode(
+                "append"
+            ).parquet(ws_state)
             for c in (ws_b, batch_roots):
                 c.unpersist()
 
