@@ -79,9 +79,19 @@ def drain_pending() -> int:
             # from a prior session drained after a new one started);
             # an unpersist failure on a frame of the LIVE session means
             # broken driver state the next query must not silently
-            # inherit (ADVICE r11).
+            # inherit (ADVICE r11). Liveness compares the underlying
+            # SparkContext applicationIds, not Python wrapper identity
+            # (ADVICE r11 item 2: newSession()/re-created wrappers
+            # around the same JVM session are the same live engine, and
+            # a genuine failure there must still raise). Touching a
+            # STOPPED context's applicationId raises -> not alive.
             try:
-                alive = c.sparkSession is SparkSession.getActiveSession()
+                active = SparkSession.getActiveSession()
+                alive = (
+                    active is not None
+                    and c.sparkSession.sparkContext.applicationId
+                    == active.sparkContext.applicationId
+                )
             except Exception:
                 alive = False
             if alive:

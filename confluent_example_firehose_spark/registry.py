@@ -141,9 +141,31 @@ def _changed_functions(
                 and node.name in registered
             ):
                 fns[node.name] = ast.dump(node)
-                refs[node.name] = {
-                    n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-                }
+                # Reference closure captures plain names, attribute
+                # accesses (mod.q_other), AND string constants matching
+                # a registered name (string registry lookups) — ADVICE
+                # r11 item 3: the Name-only form missed the latter two
+                # reach patterns. Over-capture is safe (it only
+                # promotes a query into the recheck window early).
+                refs[node.name] = (
+                    {
+                        n.id
+                        for n in ast.walk(node)
+                        if isinstance(n, ast.Name)
+                    }
+                    | {
+                        n.attr
+                        for n in ast.walk(node)
+                        if isinstance(n, ast.Attribute)
+                    }
+                    | {
+                        n.value
+                        for n in ast.walk(node)
+                        if isinstance(n, ast.Constant)
+                        and isinstance(n.value, str)
+                        and n.value in registered
+                    }
+                )
             elif isinstance(node, ast.ImportFrom):
                 for a in node.names:
                     imports[a.asname or a.name] = (

@@ -92,6 +92,23 @@ def test_syntax_error_promotes_all():
     assert _changed_functions(OLD, "def broken(", REGISTERED) is None
 
 
+def test_attribute_and_string_references_promote_caller():
+    """ADVICE r11 item 3: a registered function reaching another via
+    attribute access (mod.q_a) or a string registry lookup
+    (fns["q_a"]) must promote with its dependency, same as a plain
+    Name reference."""
+    old = (
+        "import m\n"
+        "def q_a(spark, sf):\n    return 1\n"
+        "def q_b(spark, sf):\n    return m.q_a(spark, sf)\n"
+        "def q_c(spark, sf):\n    return spark.run('q_a')\n"
+        "def q_d(spark, sf):\n    return 4\n"
+    )
+    new = old.replace("return 1", "return 2")
+    got = _changed_functions(old, new, {"q_a", "q_b", "q_c", "q_d"})
+    assert got == {"q_a", "q_b", "q_c"}
+
+
 def test_import_rewire_promotes_all():
     """ADVICE r11: rebinding an imported name to a DIFFERENT source
     module changes every caller's behavior with zero function-AST
