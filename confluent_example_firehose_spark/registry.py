@@ -63,16 +63,16 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r11: empty by design. The round's behavior-shaped edits — the
-    # simhash equivalence-class contraction (VERDICT r10 item 1) and
-    # the deferred cache release (item 3) — all live inside the query
-    # FUNCTION bodies of q_dedup_simhash / q_dedup_simhash8 /
-    # q_dedup_near, which the function-granular 2b detector promotes
-    # automatically; the round's kernel additions (dedup.fp_classes,
-    # dedup.simhash_pairs_contracted, caching.drain_pending) are
-    # reached only through those same changed bodies. Keeping tier 2
-    # empty leaves the full 50-row window to the 43-row r6 staleness
-    # cohort (VERDICT r10 item 2) plus the three auto-promotions.
+    # r12: empty by design. The round's behavior-shaped edits are all
+    # visible to the 2b detector: the adaptive-decision rework lives in
+    # the changed bodies of q_dedup_near / q_dedup_simhash /
+    # q_dedup_simhash8 (dedup.py's kernel edits are reached only
+    # through them), and the cluster-stream rewire + shared index
+    # kernel changed dedup_stream_queries' module residue, promoting
+    # that module's whole backlog (near_stream / curation_stream /
+    # cluster_stream). q_ingest_stream is tier-1 new. That leaves ~43
+    # slots for tier 3, which is exactly the 38-row r7 staleness
+    # cohort (VERDICT r11 item 4) plus the stalest r8 heads.
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
 # (VERDICT r6 item 2) — queries whose implementing code changed in a

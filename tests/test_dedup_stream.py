@@ -16,6 +16,36 @@ def fns():
     return query_fns()
 
 
+@pytest.fixture()
+def instrument():
+    """Enable the state-sized law-test collects (LAST_CLASS_PAIRS /
+    LAST_CLUSTER_STATE) for one test — production and probe runs keep
+    them off (ADVICE r11 item 4)."""
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+
+    m.INSTRUMENT_COLLECT = True
+    yield
+    m.INSTRUMENT_COLLECT = False
+
+
+def _min_label_cc(nodes, pairs) -> dict:
+    """Reference union-find with union-by-min (root == component min
+    id) — the batch comparator for the streaming CC laws."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
 def test_stream_equals_cross_batch_subset_of_batch_dedup(
     spark, sf_dir, fns
 ):
@@ -39,7 +69,7 @@ def test_stream_equals_cross_batch_subset_of_batch_dedup(
     assert streamed == batch
 
 
-def test_index_state_laws(spark, sf_dir, fns):
+def test_index_state_laws(spark, sf_dir, fns, instrument):
     """r11 contracted-index state laws: the member map is LINEAR in
     the ingested corpus (one 3-column row per shingleable doc — never
     text, never pair-sized), while the HEAVY relations scale with
@@ -169,64 +199,101 @@ def test_curation_stream_admits_what_batch_curation_keeps(
     assert total_admitted == batch_kept
 
 
-def test_cluster_stream_final_state_equals_batch_cc(spark, sf_dir, fns):
-    """Cross-operator law: after all epochs, the maintained union-find
-    root map equals q_dedup_clusters' batch connected components —
-    incremental root-contracted merging converges to exactly the
-    one-shot transitive closure (same window, same edge predicate)."""
+def _shingleable_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from confluent_example_firehose_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+
+
+def test_cluster_stream_final_state_equals_batch_cc(
+    spark, sf_dir, fns, instrument
+):
+    """Cross-operator law (r12 rewire): after all epochs, the
+    maintained class-level state expands to exactly the batch
+    connected components over q_dedup_near's verified pair set — the
+    incremental index-fed delta CC converges to the one-shot
+    transitive closure of the SAME detector (same shingles, same
+    verify kernel, same threshold), over the full shingleable
+    corpus."""
     from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
         LAST_CLUSTER_STATE,
     )
 
     fns["q_cluster_stream"](spark, sf_dir).collect()
     streamed = dict(LAST_CLUSTER_STATE)
-    batch = {
-        r["doc_id"]: r["cluster_id"]
-        for r in fns["q_dedup_clusters"](spark, sf_dir).collect()
-    }
-    assert streamed == batch
+    nodes = [
+        r["doc_id"]
+        for r in _shingleable_docs(spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    ]
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in fns["q_dedup_near"](spark, sf_dir).collect()
+    ]
+    assert streamed == _min_label_cc(nodes, pairs)
+    # Live-component count law: one comp state row per distinct FINAL
+    # label (the exact form of the <= bound in the state test).
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (  # noqa: E501
+        LAST_STATE_ROWS,
+    )
+
+    assert LAST_STATE_ROWS["q_cluster_stream_comps"] == len(
+        set(streamed.values())
+    )
 
 
-def test_cluster_stream_state_linear_and_at_arrival(spark, sf_dir, fns):
-    """State law: the root map and word-set state hold exactly one row
-    per ingested window doc (corpus-linear, never pair-sized). Output
-    law: an at-arrival assignment can only point at an already-arrived
-    doc — cluster_id <= doc_id (the doc itself is in its component)
-    and the cluster head's arrival epoch never exceeds the doc's."""
+def test_cluster_stream_state_contracted_and_at_arrival(
+    spark, sf_dir, fns
+):
+    """State law (r12): the root map holds one row per distinct
+    CONTENT (content-diversity-bounded — strictly below the corpus-
+    linear r11 doc-level map on a corpus with duplicates), and the
+    comp relation one row per live component. Output law: every
+    shingleable arrival gets exactly one at-arrival assignment,
+    cluster_id <= doc_id (the doc is in its own component) and the
+    cluster head arrived no later than the doc."""
     from pyspark.sql import functions as F
 
-    from confluent_example_firehose_spark.catalog import load_table
-    from confluent_example_firehose_spark.operators.dedup_queries import (
-        PAIR_CAP,
-    )
     from confluent_example_firehose_spark.operators.sketch_stream_queries import (  # noqa: E501
         LAST_STATE_ROWS,
     )
 
     rows = fns["q_cluster_stream"](spark, sf_dir).collect()
-    window_docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < PAIR_CAP)
-        .count()
-    )
-    assert LAST_STATE_ROWS["q_cluster_stream_roots"] == window_docs
-    assert LAST_STATE_ROWS["q_cluster_stream_ws"] == window_docs
-    assert len(rows) == window_docs
+    sh = _shingleable_docs(spark, sf_dir)
+    eligible = sh.count()
+    distinct_contents = sh.select(F.md5("text")).distinct().count()
+    assert LAST_STATE_ROWS["q_cluster_stream_roots"] == distinct_contents
+    # Emitted at-arrival labels are a LEDGER: a label can be superseded
+    # by a later merge, so live components can only be <= the distinct
+    # emitted ids (the exact comp-count law — live comps == distinct
+    # FINAL labels — is pinned in the final-state CC test below).
+    n_emitted = len({r["cluster_id"] for r in rows})
+    assert 0 < LAST_STATE_ROWS["q_cluster_stream_comps"] <= n_emitted
+    assert len(rows) == eligible
     for r in rows:
         assert r["cluster_id"] <= r["doc_id"]
         assert r["cluster_id"] % SK_BATCHES <= r["batch_id"]
 
 
-def test_cluster_stream_giant_cluster_skew(spark, tmp_path):
-    """Duplicate-skew shape for the ingest clusterer: a window that is
-    ONE giant near-dup cluster (every doc identical) arriving across
-    all epochs. Every arrival must resolve to cluster 0 at arrival
-    (epoch 0 seeds it; later epochs' delta CC contracts to the single
-    touched root), and the final root map is the one-component
-    clustering — the root-contracted delta graph never exceeds
-    (batch + 1) nodes no matter how many members the cluster has."""
+def test_cluster_stream_giant_cluster_skew(spark, tmp_path, instrument):
+    """Duplicate-skew shape for the ingest clusterer: a corpus that is
+    ONE giant exact-duplicate cluster arriving across all epochs. The
+    content contraction collapses it to a single class, every arrival
+    resolves to cluster 0 at arrival, the final assignment is the
+    one-component clustering, and the class-level state is ONE root
+    row no matter how many members arrive."""
     from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
         LAST_CLUSTER_STATE,
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (  # noqa: E501
+        LAST_STATE_ROWS,
     )
     from confluent_example_firehose_spark.registry import query_fns
 
@@ -239,6 +306,115 @@ def test_cluster_stream_giant_cluster_skew(spark, tmp_path):
     assert len(out) == 40
     assert all(r["cluster_id"] == 0 for r in out)
     assert dict(LAST_CLUSTER_STATE) == {i: 0 for i in range(40)}
+    assert LAST_STATE_ROWS["q_cluster_stream_roots"] == 1
+    assert LAST_STATE_ROWS["q_cluster_stream_comps"] == 1
+
+
+def test_cluster_stream_selective_rewrite_bytes(spark, tmp_path):
+    """VERDICT r11 item 2's done-criterion: per-epoch rewritten bytes
+    scale with TOUCHED roots, not total state. A large epoch-0 corpus
+    (200 distinct singleton docs) followed by one-doc epochs must show
+    the later epochs rewriting a small fraction of the epoch-0 bytes —
+    only the single touched pb partition is written fresh; the other
+    partitions hardlink forward."""
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
+        LAST_REWRITE_BYTES,
+    )
+    from confluent_example_firehose_spark.registry import query_fns
+
+    rows = [
+        (4 * i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(200)
+    ] + [(k, f"x{k}a x{k}b x{k}c x{k}d x{k}e") for k in (1, 2, 3)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    LAST_REWRITE_BYTES.clear()
+    out = query_fns()["q_cluster_stream"](spark, str(tmp_path)).collect()
+    assert len(out) == 203
+    wb = LAST_REWRITE_BYTES["roots"]
+    assert len(wb) == SK_BATCHES
+    assert wb[0] > 0
+    for later in wb[1:]:
+        assert 0 < later < wb[0] / 4, (
+            f"one-class epoch rewrote {later} bytes vs epoch-0 "
+            f"{wb[0]} — selective rewrite is not selective"
+        )
+
+
+def test_ingest_stream_ledger_laws(spark, sf_dir, fns):
+    """Capstone ledger partition + cross-operator admission law: every
+    arrival appears exactly once with a consistent status; per-batch
+    admitted and quality-fail counts equal q_curation_stream's ledger
+    (same gates, same fingerprint, one shared pass); duplicates name a
+    representative that arrived strictly before them in (epoch,
+    doc_id) order; quality-passing rows carry an at-arrival cluster,
+    failing rows carry nothing."""
+    from collections import Counter
+
+    from confluent_example_firehose_spark.catalog import load_table
+
+    rows = fns["q_ingest_stream"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    adm = Counter(
+        r["batch_id"] for r in rows if r["status"] == "admitted"
+    )
+    qf = Counter(
+        r["batch_id"] for r in rows if r["status"] == "quality_fail"
+    )
+    cur = {
+        r["batch_id"]: r
+        for r in fns["q_curation_stream"](spark, sf_dir).collect()
+    }
+    for bid, c in cur.items():
+        assert adm.get(bid, 0) == c["n_admitted"]
+        assert qf.get(bid, 0) == c["n_quality_fail"]
+    for r in rows:
+        assert r["batch_id"] == r["doc_id"] % SK_BATCHES
+        if r["status"] == "quality_fail":
+            assert r["dup_of"] is None and r["cluster_id"] is None
+        else:
+            assert r["cluster_id"] is not None
+            assert r["cluster_id"] <= r["doc_id"]
+            if r["status"] == "admitted":
+                assert r["dup_of"] is None
+            else:
+                d = r["dup_of"]
+                assert (d % SK_BATCHES, d) < (r["batch_id"], r["doc_id"])
+
+
+def test_ingest_stream_final_state_equals_batch_cc(
+    spark, sf_dir, fns, instrument
+):
+    """Capstone clustering law: the final shared-state clustering
+    equals batch CC over q_dedup_near's pair set RESTRICTED to the
+    quality-passing universe — the gate changes which docs enter the
+    index, nothing about how survivors cluster."""
+    from confluent_example_firehose_spark.catalog import load_table
+    from confluent_example_firehose_spark.operators.dedup_stream_queries import (  # noqa: E501
+        LAST_CLUSTER_STATE,
+        _quality_classes,
+    )
+
+    fns["q_ingest_stream"](spark, sf_dir).collect()
+    streamed = dict(LAST_CLUSTER_STATE)
+    qdocs = {
+        r["doc_id"]
+        for r in _quality_classes(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+        )
+        .select("doc_id")
+        .collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in fns["q_dedup_near"](spark, sf_dir).collect()
+        if r["id_a"] in qdocs and r["id_b"] in qdocs
+    ]
+    assert streamed == _min_label_cc(qdocs, pairs)
 
 
 def test_class_pair_survives_for_late_members(spark, tmp_path):

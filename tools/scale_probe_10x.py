@@ -218,6 +218,17 @@ def main() -> None:
         print(f"\nstored-state rows after the {COPIES}x leg:")
         for k in sorted(ssq.LAST_STATE_ROWS):
             print(f"  {k}: {ssq.LAST_STATE_ROWS[k]}")
+        from confluent_example_firehose_spark.operators import (  # noqa: E402
+            dedup_stream_queries as dsq,
+        )
+
+        if dsq.LAST_REWRITE_BYTES:
+            print(
+                f"\nselective-rewrite bytes per epoch after the "
+                f"{COPIES}x leg (VERDICT r11 item 2 meter):"
+            )
+            for k, v in sorted(dsq.LAST_REWRITE_BYTES.items()):
+                print(f"  {k}: {v}")
 
 
 if __name__ == "__main__":
