@@ -28,6 +28,16 @@ from pyspark.sql.functions import pandas_udf
 
 _LONG_MAX = 9223372036854775807
 
+# The MinHash-LSH band-bucket occupancy cap, shared between the
+# candidate generator's skew guard (minhash_candidate_pairs
+# max_bucket default) and the adaptive-contraction decision's
+# over-cap-class detection (q_dedup_near passes it as
+# contraction_worthwhile's cap) — ADVICE r12: the two values MUST be
+# the same number, or a single identical-content class sized between
+# them silently re-opens the direct path's bucket-drop gap the r12
+# max-class rule closed.
+NEAR_BUCKET_CAP = 64
+
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the scan yields
@@ -193,7 +203,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int = 64,
+    max_bucket: int = NEAR_BUCKET_CAP,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands.
@@ -441,8 +451,40 @@ CONTRACT_DUP_FRAC = 0.125  # contract when >1/8 of rows are duplicates
 # re-aggregating the same corpus (q_dedup_near/simhash/simhash8 each
 # charged ~0.1-0.2 s per bench session for an identical answer; the
 # simhash pair shares one entry outright). Keyed by resolved path so
-# distinct test fixtures / probe ramdisks can never alias.
+# distinct test fixtures / probe ramdisks can never alias — and since
+# r13 (ADVICE r12 item 1) ALSO by a file-level data identity of the
+# table dir, so regenerating the parquet at a memoized path within one
+# driver session invalidates the entry instead of silently routing a
+# now-duplicate-heavy corpus onto the direct path. Bounded: cleared
+# wholesale past _DUP_STATS_MEMO_CAP entries (stale identities of
+# rewritten paths would otherwise accumulate forever).
 _DUP_STATS_MEMO: dict[tuple, tuple] = {}
+_DUP_STATS_MEMO_CAP = 256
+
+
+def _table_identity(sf_dir: str, table: str) -> tuple:
+    """File-level identity of a catalog table dir — (name, size,
+    mtime_ns) per data file, the memo-key component that ties a cached
+    corpus stat to the BYTES it was computed from (the catalog layout
+    is `<sf_dir>/<table>.parquet`, catalog.table_path). Missing paths
+    hash to an empty identity rather than raising: the subsequent
+    aggregate produces the authoritative error/answer."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((table, st.st_size, st.st_mtime_ns),)
+    if not os.path.isdir(path):
+        return ()
+    out = []
+    for base, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(base, fn))
+            out.append((fn, st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
 
 
 def adaptive_dup_stats(
@@ -460,8 +502,13 @@ def adaptive_dup_stats(
     (ADVICE r11 item 1)."""
     import logging
 
-    if memo_key is not None and memo_key in _DUP_STATS_MEMO:
-        return _DUP_STATS_MEMO[memo_key]
+    if memo_key is not None:
+        # Fold the data identity in (ADVICE r12 item 1): callers key by
+        # (realpath(sf_dir), table, population); the identity component
+        # makes an in-place rewrite of that table a guaranteed miss.
+        memo_key = memo_key + (_table_identity(memo_key[0], memo_key[1]),)
+        if memo_key in _DUP_STATS_MEMO:
+            return _DUP_STATS_MEMO[memo_key]
     r = (
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("c"))
@@ -479,6 +526,8 @@ def adaptive_dup_stats(
         *stats,
     )
     if memo_key is not None:
+        if len(_DUP_STATS_MEMO) >= _DUP_STATS_MEMO_CAP:
+            _DUP_STATS_MEMO.clear()
         _DUP_STATS_MEMO[memo_key] = stats
     return stats
 

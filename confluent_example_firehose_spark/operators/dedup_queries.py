@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
+    NEAR_BUCKET_CAP,
     adaptive_dup_stats,
     bucket_pairs_refined,
     contraction_worthwhile,
@@ -226,7 +227,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         flt, "cfp",
         memo_key=(os.path.realpath(sf_dir), "documents", "near_cfp"),
     )
-    if not contraction_worthwhile(n, dd, max_class=mx, cap=64):
+    # cap == the candidate generator's own bucket cap (ADVICE r12
+    # item 2: one shared constant, so the drop threshold and the
+    # over-cap-class detection can never silently diverge).
+    if not contraction_worthwhile(n, dd, max_class=mx, cap=NEAR_BUCKET_CAP):
         # Direct pipeline (the pre-r11 plan): shingle every doc, one
         # bucket shuffle, verify on hashed shingles; the 64-id
         # boilerplate drop trade applies, now confined to corpora with
