@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .dedup import (
+    NEAR_BUCKET_CAP,
     doc_shingle_hashes,
     jaccard,
     lsh_bands,
@@ -60,20 +61,21 @@ NEAR_STREAM_BANDS = 8
 # occupancy cap has on a grow-only index (the pre-r11 per-doc form
 # suppressed every later arrival at that bucket too, and duplicate
 # MASS can no longer be what fills it). Vacuous at the test SFs (no
-# bucket approaches 64 distinct near-dup contents — the q_dedup_near
-# max_bucket=64 stance); the oracle therefore replays the uncapped
-# semantics, and a corpus where the cap engages is the documented
-# boilerplate-band recall trade, not a silent bug.
-NEAR_STREAM_BUCKET_CAP = 64
+# bucket approaches 64 distinct near-dup contents); the oracle
+# therefore replays the uncapped semantics, and a corpus where the cap
+# engages is the documented boilerplate-band recall trade, not a
+# silent bug. Shares dedup.NEAR_BUCKET_CAP — the q_dedup_near
+# max_bucket stance, one constant by design (ADVICE r12 item 2).
+NEAR_STREAM_BUCKET_CAP = NEAR_BUCKET_CAP
 
-# Admitted-fp state compaction cadence (ADVICE r10 item 2): appended
-# rows are globally unique by construction (batch-distinct + left_anti
-# vs the state, and epochs are strictly sequential), so append-only is
-# CORRECT every epoch; compaction is small-file consolidation only and
-# runs every N epochs instead of rewriting the O(total state) relation
-# per micro-batch. 2 keeps both the append-only path and the
-# consolidation path exercised inside the SK_BATCHES=4 driver window.
-CURATION_COMPACT_EVERY = 2
+# Per-epoch (touched_bytes, total_bytes) of each bucket-pruned state
+# READ of the last run, keyed f"{query}_{relation}" — the r13 read
+# twin of LAST_REWRITE_BYTES (VERDICT r12 item 1's done-criterion:
+# per-epoch read bytes must scale with the epoch's TOUCHED buckets,
+# not total state). Entries for a query are cleared when that query
+# starts (prefix-scoped, so cluster/ingest runs in one session never
+# misattribute — ADVICE r12 item 5 applied to both meters).
+LAST_READ_BYTES: dict[str, list[tuple[int, int]]] = {}
 
 
 def _assert_batch_membership(batch_df: DataFrame, b: int) -> None:
@@ -110,15 +112,114 @@ def _index_paths(root: str) -> dict[str, str]:
     }
 
 
+def _has_state(path: str) -> bool:
+    """A pb-partitioned state relation exists iff at least one bucket
+    directory was ever written — a dir holding only _SUCCESS (an
+    all-empty epoch's append) has no schema to infer and reads as
+    no-state, same as absent."""
+    return os.path.isdir(path) and any(
+        e.startswith("pb=") for e in os.listdir(path)
+    )
+
+
+def _state_count(s: SparkSession, path: str) -> int:
+    """Row count of a pb-partitioned state relation, 0 when it was
+    never written (post-run LAST_STATE_ROWS bookkeeping — ADVICE r12
+    item 3's None/absent guard, applied uniformly)."""
+    return s.read.parquet(path).count() if _has_state(path) else 0
+
+
+def _ledger_result(
+    s: SparkSession, path: str, schema
+) -> DataFrame:
+    """The query's RESULT as a read of its per-epoch ledger relation
+    (VERDICT r12 item 2: the sink IS the implementation — epochs
+    append, the driver never accumulates rows). localCheckpoint(eager)
+    materializes the partitions into executor storage so the frame
+    survives the temp-state cleanup; a production deployment keeps the
+    ledger as the durable output table and skips both. The explicit
+    schema makes a never-written ledger (no emitting epoch) read as an
+    empty frame instead of a schema-inference error."""
+    if not os.path.isdir(path):
+        return s.createDataFrame([], schema)
+    return (
+        s.read.schema(schema)
+        .parquet(path)
+        .select([f.name for f in schema.fields])
+        .localCheckpoint(eager=True)
+    )
+
+
+def _clear_meters(prefix: str) -> None:
+    """Reset THIS query's entries in the two per-epoch meters (keys are
+    query-prefixed — ADVICE r12 item 5 — so one query starting never
+    wipes another's record from the same session)."""
+    for d in (LAST_REWRITE_BYTES, LAST_READ_BYTES):
+        for k in [k for k in d if k.startswith(prefix)]:
+            del d[k]
+
+
+def _meter_read(path: str, buckets: list[int], key: str) -> None:
+    """Record (touched_bytes, total_bytes) of a bucket-pruned read —
+    the physical evidence that a probe scans the epoch's touched
+    partitions, not the whole relation. Instrumentation-only walk of a
+    local state dir; a cluster deployment reads the same numbers from
+    the scan's PartitionFilters metrics."""
+    touched = sum(
+        _dir_bytes(os.path.join(path, f"pb={k}")) for k in buckets
+    )
+    LAST_READ_BYTES.setdefault(key, []).append(
+        (touched, _dir_bytes(path))
+    )
+
+
+def _pruned_scan(
+    s: SparkSession,
+    path: str,
+    buckets: list[int],
+    b: int,
+    meter_key: str | None = None,
+) -> DataFrame:
+    """Bucket-pruned, epoch-tagged read of a pb-partitioned append
+    state relation (VERDICT r12 item 1): the caller knows which pb
+    buckets the epoch's probe keys hash into, so the scan carries a
+    partition-pruning isin predicate — per-epoch read cost scales with
+    TOUCHED buckets, while the b_id < b tag keeps this epoch's own
+    appends invisible (the r11 refreshByPath discipline, unchanged).
+    An empty bucket list short-circuits to an always-false predicate
+    (isin() with zero values is invalid SQL)."""
+    if meter_key is not None:
+        _meter_read(path, buckets, meter_key)
+    df = s.read.parquet(path)
+    pred = F.col("pb").isin(buckets) if buckets else F.lit(False)
+    return df.filter(pred & (F.col("b_id") < b))
+
+
+def _distinct_pbs(df: DataFrame, col) -> list[int]:
+    """The sorted distinct pb buckets a key column hashes into — the
+    tiny driver round-trip (bounded by ROOT_PB values after a map-side
+    partial distinct) that turns an epoch's touched-key set into a
+    literal partition predicate for _pruned_scan."""
+    return sorted(
+        r["pb"]
+        for r in df.select(col.alias("pb")).distinct().collect()
+    )
+
+
 def _index_epoch(
-    s: SparkSession, b: int, flt: DataFrame, ip: dict[str, str]
-) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame]]:
+    s: SparkSession,
+    b: int,
+    flt: DataFrame,
+    ip: dict[str, str],
+    meter: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame], list[int]]:
     """ONE epoch of contracted-LSH index maintenance — the
     q_dedup_near_stream kernel, extracted in r12 so the duplicate-
     cluster maintainer and the ingest capstone run the SAME index over
     the SAME state relations instead of a demo edge window (VERDICT
     r11 items 1 and 5). `flt` is the epoch's shingleable arrivals
-    (doc_id, text, cfp with cfp = md5(text)); `ip` is _index_paths.
+    (doc_id, text, cfp with cfp = md5(text)); `ip` is _index_paths;
+    `meter` prefixes the LAST_READ_BYTES keys with the running query.
 
     Per-epoch work (the r11 contraction, unchanged): map-side-
     combining class agg (duplicate text collapses BEFORE any shuffle),
@@ -129,10 +230,26 @@ def _index_epoch(
     candidate has a new-this-epoch side). Appends all five state
     relations epoch-tagged with b_id = b — every reader filters
     b_id < b, so the appends are invisible to this epoch's own frames
-    (the r11 refreshByPath discipline). Returns (members_b, new_cls,
-    cp_new, extra_caches): the epoch's member rows, first-seen classes
-    (cfp, rep_id, text), verified class pairs (cfp, other, jac — BOTH
-    orientations), and internal persists the caller must unpersist."""
+    (the r11 refreshByPath discipline).
+
+    Since r13 (VERDICT r12 item 1) every state relation is ALSO
+    pb-bucket-partitioned on its probe key — classes and shingles by
+    hash(cfp), bands by hash(band_id, band_hash), class_pairs and
+    members by hash(lookup-side cfp) — and each per-epoch probe pushes
+    the epoch's touched-bucket list into the scan as a partition
+    predicate (_pruned_scan): the admission left_anti reads only the
+    batch's cfp buckets, the candidate probe only the new classes' band
+    buckets, the verify join only the candidate pairs' cfp buckets. On
+    a content-DIVERSE corpus — where these relations are corpus-linear
+    — per-epoch read cost therefore scales with the BATCH's key
+    footprint, not the corpus (the reference's own ingest never rescans
+    its state either: AbstractPrometheusFirehose.java:41-51 is a keyed
+    lookup). Touched-vs-total bytes are metered per epoch in
+    LAST_READ_BYTES. Returns (members_b, new_cls, cp_new, extra_caches,
+    batch_pbs): the epoch's member rows, first-seen classes (cfp,
+    rep_id, text), verified class pairs (cfp, other, jac — BOTH
+    orientations), internal persists the caller must unpersist, and the
+    batch's cfp bucket list for the caller's own pruned lookups."""
     rows_per_band = NEAR_STREAM_HASHES // NEAR_STREAM_BANDS
     members_b = (
         flt.select("doc_id", "cfp").withColumn("b_id", F.lit(b))
@@ -140,15 +257,18 @@ def _index_epoch(
     agg_b = flt.groupBy("cfp").agg(
         F.min("doc_id").alias("rep_id"),
         F.min_by("text", "doc_id").alias("text"),
-    )
-    if os.path.isdir(ip["classes"]):
+    ).persist()
+    batch_pbs = _distinct_pbs(agg_b, _pb(F.col("cfp")))
+    if _has_state(ip["classes"]):
         new_cls = agg_b.join(
-            s.read.parquet(ip["classes"]).filter(F.col("b_id") < b),
+            _pruned_scan(
+                s, ip["classes"], batch_pbs, b, f"{meter}_classes"
+            ).select("cfp"),
             "cfp",
             "left_anti",
         )
     else:
-        new_cls = agg_b
+        new_cls = agg_b.select("cfp", "rep_id", "text")
     new_cls = new_cls.persist()
     sh_n = doc_shingle_hashes(
         new_cls.select("cfp", "text"), "cfp", "text", out="sh"
@@ -162,12 +282,14 @@ def _index_epoch(
         F.explode(
             lsh_bands(F.col("_sig"), NEAR_STREAM_BANDS, rows_per_band)
         ).alias("bb"),
-    ).select("cfp", "bb.band_id", "bb.band_hash")
+    ).select("cfp", "bb.band_id", "bb.band_hash").persist()
+    band_pbs = _distinct_pbs(
+        bands_n, _pb(F.col("band_id"), F.col("band_hash"))
+    )
     all_bands = bands_n
-    if os.path.isdir(ip["bands"]):
+    if _has_state(ip["bands"]):
         all_bands = (
-            s.read.parquet(ip["bands"])
-            .filter(F.col("b_id") < b)
+            _pruned_scan(s, ip["bands"], band_pbs, b, f"{meter}_bands")
             .select("cfp", "band_id", "band_hash")
             .unionByName(bands_n)
         )
@@ -197,12 +319,22 @@ def _index_epoch(
             F.greatest("cfp_n", "cfp_o").alias("cfp_b"),
         )
         .distinct()
+        .persist()
+    )
+    cand_pbs = _distinct_pbs(
+        cand.select(
+            F.explode(
+                F.array(_pb(F.col("cfp_a")), _pb(F.col("cfp_b")))
+            ).alias("p")
+        ),
+        F.col("p"),
     )
     sh_all = sh_n
-    if os.path.isdir(ip["shingles"]):
+    if _has_state(ip["shingles"]):
         sh_all = (
-            s.read.parquet(ip["shingles"])
-            .filter(F.col("b_id") < b)
+            _pruned_scan(
+                s, ip["shingles"], cand_pbs, b, f"{meter}_shingles"
+            )
             .select("cfp", "sh")
             .unionByName(sh_n)
         )
@@ -239,20 +371,24 @@ def _index_epoch(
             )
         )
     ).persist()
-    members_b.write.mode("append").parquet(ip["members"])
-    bands_n.withColumn("b_id", F.lit(b)).write.mode("append").parquet(
-        ip["bands"]
-    )
-    sh_n.withColumn("b_id", F.lit(b)).write.mode("append").parquet(
-        ip["shingles"]
-    )
+    members_b.withColumn("pb", _pb(F.col("cfp"))).write.partitionBy(
+        "pb"
+    ).mode("append").parquet(ip["members"])
+    bands_n.withColumn("b_id", F.lit(b)).withColumn(
+        "pb", _pb(F.col("band_id"), F.col("band_hash"))
+    ).write.partitionBy("pb").mode("append").parquet(ip["bands"])
+    sh_n.withColumn("b_id", F.lit(b)).withColumn(
+        "pb", _pb(F.col("cfp"))
+    ).write.partitionBy("pb").mode("append").parquet(ip["shingles"])
     new_cls.select("cfp", "rep_id").withColumn(
         "b_id", F.lit(b)
-    ).write.mode("append").parquet(ip["classes"])
-    cp_new.withColumn("b_id", F.lit(b)).write.mode("append").parquet(
-        ip["class_pairs"]
-    )
-    return members_b, new_cls, cp_new, [sh_n]
+    ).withColumn("pb", _pb(F.col("cfp"))).write.partitionBy(
+        "pb"
+    ).mode("append").parquet(ip["classes"])
+    cp_new.withColumn("b_id", F.lit(b)).withColumn(
+        "pb", _pb(F.col("cfp"))
+    ).write.partitionBy("pb").mode("append").parquet(ip["class_pairs"])
+    return members_b, new_cls, cp_new, [sh_n, agg_b, bands_n, cand], batch_pbs
 
 
 @register(
@@ -333,19 +469,36 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     permanence trade (genuine near-dup-diversity skew only —
     exact-duplicate mass can no longer consume cap budget or suppress
     buckets). Emission is two equi-
-    joins against strictly-earlier members. The per-epoch collect is
-    OUTPUT-sized (the verified near-dup pairs the epoch emits — the
-    rows the caller receives anyway), never state-sized or
-    batch-sized; a production sink would append them to a parquet
-    hits relation instead of the driver log. Reference parity:
-    dedup-at-ingest generalizes the reference's keyed first-seen
-    state (AbstractPrometheusFirehose.java:41-51) from exact keys to
+    joins against strictly-earlier members — the same-class join
+    pruned to the batch's cfp buckets, the cross-class join to the
+    incident pairs' other-side buckets. Since r13 (VERDICT r12
+    item 2) the per-epoch emission is a parquet LEDGER APPEND, not a
+    driver-log collect: the pair ledger is QUADRATIC under duplicate
+    mass (1.82M tuples at the r12 100x probe), so each epoch writes
+    its output-sized hits to the ledger relation and the query
+    returns a read of that relation (localCheckpoint-materialized
+    before the temp state is removed) — the driver never accumulates
+    it, and a production run keeps the ledger as the output table
+    (the reference's push sink flushes per batch the same way,
+    PrometheusPusher.java:61-67). Reference parity: dedup-at-ingest
+    generalizes the reference's keyed first-seen state
+    (AbstractPrometheusFirehose.java:41-51) from exact keys to
     near-duplicate text."""
     import shutil
     import tempfile
 
     from pyspark.sql import types as T
 
+    _clear_meters("q_dedup_near_stream")
+    LAST_CLASS_PAIRS.clear()  # unconditional (ADVICE r12 item 4)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("jac", T.DoubleType()),
+        ]
+    )
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -355,12 +508,12 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
         ip = _index_paths(root)
+        ledger = os.path.join(root, "ledger")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        log: list[tuple[int, int, int, float]] = []
         epoch = [0]
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -377,19 +530,25 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # its state appends are epoch-tagged, so the reads below
             # (all filtered b_id < b) see exactly the strictly-earlier
             # arrivals even though the appends already happened.
-            members_b, new_cls, cp_new, extra = _index_epoch(
-                s, b, flt, ip
+            members_b, new_cls, cp_new, extra, batch_pbs = _index_epoch(
+                s, b, flt, ip, meter="q_dedup_near_stream"
             )
             # Emission: same-class pairs are jac = 1.0 by identity;
-            # cross-class pairs inherit the class pair's Jaccard.
-            if b > 0:
-                old_m = s.read.parquet(ip["members"]).filter(
-                    F.col("b_id") < b
+            # cross-class pairs inherit the class pair's Jaccard. Both
+            # member lookups are bucket-pruned — batch-cfp buckets for
+            # the same-class join and the stored pair probe, then the
+            # incident pairs' other-side buckets (pair-bounded,
+            # collected from the already-pruned incident frame) for
+            # the cross-class join.
+            if b > 0 and _has_state(ip["members"]):
+                old_same = _pruned_scan(
+                    s, ip["members"], batch_pbs, b,
+                    "q_dedup_near_stream_members_same",
                 )
                 same = (
                     members_b.select("doc_id", "cfp")
                     .join(
-                        old_m.select(
+                        old_same.select(
                             F.col("doc_id").alias("dup_of"), "cfp"
                         ),
                         "cfp",
@@ -398,29 +557,39 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id", "dup_of", F.lit(1.0).alias("jac")
                     )
                 )
-                cp_all = (
-                    s.read.parquet(ip["class_pairs"])
-                    .filter(F.col("b_id") < b)
-                    .select("cfp", "other", "jac")
-                    .unionByName(cp_new)
-                )
-                cross = (
+                cp_all = cp_new.select("cfp", "other", "jac")
+                if _has_state(ip["class_pairs"]):
+                    cp_all = (
+                        _pruned_scan(
+                            s, ip["class_pairs"], batch_pbs, b,
+                            "q_dedup_near_stream_class_pairs",
+                        )
+                        .select("cfp", "other", "jac")
+                        .unionByName(cp_all)
+                    )
+                inc = (
                     members_b.select("doc_id", "cfp")
                     .join(cp_all, "cfp")
-                    .join(
-                        old_m.select(
-                            F.col("doc_id").alias("dup_of"),
-                            F.col("cfp").alias("other"),
-                        ),
-                        "other",
-                    )
-                    .select("doc_id", "dup_of", "jac")
+                    .persist()
                 )
-                hits = same.unionByName(cross).collect()
-                for r in sorted(
-                    hits, key=lambda r: (r["doc_id"], r["dup_of"])
-                ):
-                    log.append((b, r["doc_id"], r["dup_of"], r["jac"]))
+                other_pbs = _distinct_pbs(inc, _pb(F.col("other")))
+                cross = inc.join(
+                    _pruned_scan(
+                        s, ip["members"], other_pbs, b,
+                        "q_dedup_near_stream_members_other",
+                    ).select(
+                        F.col("doc_id").alias("dup_of"),
+                        F.col("cfp").alias("other"),
+                    ),
+                    "other",
+                ).select("doc_id", "dup_of", "jac")
+                same.unionByName(cross).select(
+                    F.lit(b).cast("long").alias("batch_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("dup_of").cast("long").alias("dup_of"),
+                    F.col("jac").cast("double").alias("jac"),
+                ).write.mode("append").parquet(ledger)
+                inc.unpersist()
             for c in (members_b, new_cls, cp_new, *extra):
                 c.unpersist()
 
@@ -440,41 +609,26 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relationships. Pinned by tests/test_dedup_stream.
         from .sketch_stream_queries import LAST_STATE_ROWS
 
-        LAST_STATE_ROWS["q_dedup_near_stream_members"] = (
-            spark.read.parquet(ip["members"]).count()
-        )
-        LAST_STATE_ROWS["q_dedup_near_stream_classes"] = (
-            spark.read.parquet(ip["classes"]).count()
-        )
-        LAST_STATE_ROWS["q_dedup_near_stream_bands"] = (
-            spark.read.parquet(ip["bands"]).count()
-        )
-        LAST_STATE_ROWS["q_dedup_near_stream_shingles"] = (
-            spark.read.parquet(ip["shingles"]).count()
-        )
-        LAST_STATE_ROWS["q_dedup_near_stream_class_pairs"] = (
-            spark.read.parquet(ip["class_pairs"]).count()
-        )
+        for rel in (
+            "members", "classes", "bands", "shingles", "class_pairs"
+        ):
+            LAST_STATE_ROWS[f"q_dedup_near_stream_{rel}"] = _state_count(
+                spark, ip[rel]
+            )
         # State-sized collect: law-test instrumentation ONLY (ADVICE
         # r11 item 4 — a production run must not driver-collect the
         # class-pair relation; count() above serves the size law).
-        if INSTRUMENT_COLLECT:
+        # Cleared unconditionally at run start (ADVICE r12 item 4),
+        # extended only under the gate.
+        if INSTRUMENT_COLLECT and _has_state(ip["class_pairs"]):
             cp_rows = spark.read.parquet(ip["class_pairs"]).collect()
-            LAST_CLASS_PAIRS.clear()
             LAST_CLASS_PAIRS.extend(
                 (r["cfp"], r["other"], r["jac"]) for r in cp_rows
             )
+        out = _ledger_result(spark, ledger, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    schema = T.StructType(
-        [
-            T.StructField("batch_id", T.LongType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("dup_of", T.LongType()),
-            T.StructField("jac", T.DoubleType()),
-        ]
-    )
-    return spark.createDataFrame(log, schema)
+    return out
 
 
 @register(
@@ -540,22 +694,26 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-epoch work is one batch scan (gates are row-local
     array math, zero shuffle), a batch-sized fp-distinct, and ONE
-    left_anti equi-join against the admitted-fp state — at 100 TB the
-    state is fp-bucket-partitioned so the probe is co-located (the same
-    serving story as the LSH/band and posting states above); history
-    text is never rescanned or re-scored. State grows by NEW content
-    only, APPEND-ONLY per epoch (appended fps are globally unique by
-    construction: batch-distinct + left_anti vs the state, on strictly
-    sequential epochs), with rename-swap consolidation every
-    CURATION_COMPACT_EVERY epochs for small-file hygiene only (ADVICE
-    r10: the former per-epoch rewrite was O(total state) per
-    micro-batch). The stored relation stays bounded by CONTENT
+    left_anti equi-join against the admitted-fp state. Since r13
+    (VERDICT r12 item 6) the state is the same versioned pb-bucketed
+    layout as the cluster state: the left_anti probe reads ONLY the
+    batch's fp buckets (partition-pruning predicate, metered in
+    LAST_READ_BYTES), and the epoch's newly admitted fps land via
+    selective_state_rewrite — touched partitions written fresh,
+    unchanged partitions hardlinked forward, bytes metered in
+    LAST_REWRITE_BYTES — so per-epoch read AND write cost scale with
+    the batch's key footprint, never total state (the former
+    append+periodic-compact layout consolidated O(state) bytes every
+    other epoch). History text is never rescanned or re-scored; the
+    cumulative count is a driver-side running sum (state rows only
+    ever grow by the epoch's admissions), so no O(state) count job
+    per epoch either. The stored relation stays bounded by CONTENT
     DIVERSITY, not corpus size — the measured 100x-clone property
-    (SCALE.md r10: cloned corpora add zero state rows). Reference parity: this is the reference's keyed
-    first-seen admission (AbstractPrometheusFirehose.java:41-51,
-    lazy series creation) generalized from metric keys to document
-    content, on its micro-batch boundaries (AbstractFirehose.java:
-    107-131)."""
+    (SCALE.md r10: cloned corpora add zero state rows). Reference
+    parity: this is the reference's keyed first-seen admission
+    (AbstractPrometheusFirehose.java:41-51, lazy series creation)
+    generalized from metric keys to document content, on its
+    micro-batch boundaries (AbstractFirehose.java:107-131)."""
     import os
     import shutil
     import tempfile
@@ -565,16 +723,16 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import words
     from .sketch_stream_queries import (
         LAST_STATE_ROWS,
-        compact_state,
         stage_key_batches,
     )
     from .text_queries import STOPWORDS
 
+    _clear_meters("q_curation_stream")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="curation_stream_")
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
-        state = os.path.join(root, "admitted_fps")
+        state_root = os.path.join(root, "admitted_fps")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -582,6 +740,7 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         log: list[tuple[int, int, int, int, int, int]] = []
         epoch = [0]
+        cum = [0]
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
             s = batch_df.sparkSession
@@ -609,27 +768,48 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("nd").cast("double") / F.col("nw") >= 0.3)
             )
             n_q = passed.count()
-            fps = passed.select("fp").distinct()
-            if os.path.isdir(state):
-                new = fps.join(s.read.parquet(state), "fp", "left_anti")
+            fps = (
+                passed.select("fp")
+                .distinct()
+                .withColumn("pb", _pb(F.col("fp")))
+                .persist()
+            )
+            st = _versioned_read(s, state_root)
+            if st is not None:
+                # Bucket-pruned probe: an admitted fp equal to a batch
+                # fp must share its pb, so scanning only the batch's
+                # buckets preserves left_anti semantics exactly.
+                pbs = _distinct_pbs(fps, F.col("pb"))
+                v = _latest_version(state_root)
+                _meter_read(
+                    os.path.join(state_root, f"v{v}"),
+                    pbs,
+                    "q_curation_stream_admitted_read",
+                )
+                pred = (
+                    F.col("pb").isin(pbs) if pbs else F.lit(False)
+                )
+                new = fps.join(
+                    st.filter(pred).select("fp"), "fp", "left_anti"
+                )
             else:
                 new = fps
-            # The anti-join result feeds two actions (count + append);
-            # persist closes its lifecycle inside the epoch.
+            # The anti-join result feeds two actions (count + the
+            # selective rewrite); persist closes its lifecycle inside
+            # the epoch.
             new = new.persist()
             n_adm = new.count()
-            new.write.mode("append").parquet(state)
+            wb = selective_state_rewrite(
+                s, state_root, new.select("fp", "pb"), ("fp",)
+            )
+            LAST_REWRITE_BYTES.setdefault(
+                "q_curation_stream_admitted", []
+            ).append(wb)
             new.unpersist()
-            # Appended fps are globally unique by construction (see
-            # CURATION_COMPACT_EVERY): append-only every epoch;
-            # rename-swap consolidation every N epochs only, so
-            # per-epoch work stays one batch scan + ONE left_anti
-            # probe, never an O(total state) rewrite (ADVICE r10).
-            if (b + 1) % CURATION_COMPACT_EVERY == 0:
-                compact_state(s.read.parquet(state), state)
-            n_cum = s.read.parquet(state).count()
+            fps.unpersist()
+            cum[0] += n_adm
             log.append(
-                (b, n_arrived, n_arrived - n_q, n_q - n_adm, n_adm, n_cum)
+                (b, n_arrived, n_arrived - n_q, n_q - n_adm, n_adm, cum[0])
             )
 
         q = (
@@ -641,8 +821,9 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         # Admitted-fp state == distinct admitted content: the
         # content-diversity bound, same pin family as the sketches.
+        rd = _versioned_read(spark, state_root)
         LAST_STATE_ROWS["q_curation_stream"] = (
-            spark.read.parquet(state).count()
+            rd.count() if rd is not None else 0
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -671,14 +852,17 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROOT_PB = 32
 
 # Per-epoch bytes physically written by each selective state rewrite of
-# the last cluster/ingest run, keyed by relation name — the VERDICT r11
-# item 2 meter: rewritten bytes must scale with TOUCHED roots, not with
-# total state. Hardlinked (unchanged) partitions cost zero.
+# the last cluster/ingest/curation run, keyed f"{query}_{relation}"
+# (ADVICE r12 item 5: query-prefixed so concurrent-session readers and
+# the probe tool can attribute the meter) — the VERDICT r11 item 2
+# meter: rewritten bytes must scale with TOUCHED roots, not with total
+# state. Hardlinked (unchanged) partitions cost zero. Cleared
+# prefix-scoped at each query's start (_clear_meters).
 LAST_REWRITE_BYTES: dict[str, list[int]] = {}
 
 
-def _pb(col: F.Column) -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(ROOT_PB)).cast("int")
+def _pb(*cols) -> F.Column:
+    return F.pmod(F.xxhash64(*cols), F.lit(ROOT_PB)).cast("int")
 
 
 def _latest_version(root: str) -> int | None:
@@ -698,11 +882,16 @@ def _versioned_read(s: SparkSession, root: str) -> DataFrame | None:
     committed, so a lazy frame read at epoch b can never observe a
     later epoch's rewrite — the versioned twin of the b_id < b epoch
     tag on append-only relations (the r11 refreshByPath discipline,
-    without needing a tag column on upserted rows)."""
+    without needing a tag column on upserted rows). A version dir with
+    zero pb partitions (a fully-deleted state) also reads as None —
+    there is no schema to infer from an empty parquet dir."""
     v = _latest_version(root)
     if v is None:
         return None
-    return s.read.parquet(os.path.join(root, f"v{v}"))
+    vdir = os.path.join(root, f"v{v}")
+    if not any(e.startswith("pb=") for e in os.listdir(vdir)):
+        return None
+    return s.read.parquet(vdir)
 
 
 def _dir_bytes(path: str) -> int:
@@ -746,6 +935,18 @@ def selective_state_rewrite(
     only retention of unchanged files)."""
     import shutil
 
+    changed = upserts.select(*key_cols, "pb")
+    if delete_keys is not None:
+        changed = changed.unionByName(delete_keys.select(*key_cols, "pb"))
+    affected = sorted(
+        r["pb"] for r in changed.select("pb").distinct().collect()
+    )
+    if not affected:
+        # No touched rows at all: the state version is UNCHANGED — skip
+        # the write job and the version bump entirely (r13, VERDICT r12
+        # item 3: this one collect replaces the callers' former
+        # isEmpty() pre-probes, and a quiet epoch costs zero jobs here).
+        return 0
     v = _latest_version(root)
     if v is None:
         os.makedirs(root, exist_ok=True)
@@ -753,12 +954,6 @@ def selective_state_rewrite(
         upserts.write.partitionBy("pb").parquet(new_dir)
         return _dir_bytes(new_dir)
     cur_dir = os.path.join(root, f"v{v}")
-    changed = upserts.select(*key_cols, "pb")
-    if delete_keys is not None:
-        changed = changed.unionByName(delete_keys.select(*key_cols, "pb"))
-    affected = sorted(
-        r["pb"] for r in changed.select("pb").distinct().collect()
-    )
     new_dir = os.path.join(root, f"v{v + 1}")
     tmp = new_dir + ".tmp"
     cur = s.read.parquet(cur_dir)
@@ -806,14 +1001,19 @@ def _cluster_epoch(
     cp_new: DataFrame,
     roots_root: str,
     comp_root: str,
-) -> list:
+    meter: str,
+) -> tuple[DataFrame, list[DataFrame]]:
     """ONE epoch of incremental duplicate-cluster maintenance over the
     contracted LSH index's verified class pairs — the root-contracted
     delta-CC step at CLASS granularity (r12, VERDICT r11 item 1: the
     edge source is now the index the pipeline already maintains, not a
-    demo pair window). Returns the batch's at-arrival assignments
-    (doc_id, cluster_id) — an OUTPUT-sized collect — after selectively
-    rewriting the two cluster state relations.
+    demo pair window). Returns (hits, caches): the batch's at-arrival
+    assignments (doc_id, cluster_id) as a LAZY output-sized frame the
+    caller must sink within the epoch (its lineage reads this epoch's
+    committed state version, which survives exactly one more epoch),
+    plus the internal persists to release after that sink — the r13
+    shape of VERDICT r12 items 2-3: no driver collect here, and the
+    caller's ledger append is the single materializing action.
 
     State (both versioned + pb-bucketed, selectively rewritten):
       roots: (cfp, rep_id, root, pb) — one row per distinct CONTENT
@@ -827,7 +1027,11 @@ def _cluster_epoch(
     comp-min maintenance is a min-merge over old comp rows of touched
     roots + batch per-class mins — history classes are never
     re-scanned, and the rewrite cost is measured per epoch in
-    LAST_REWRITE_BYTES (touched-partition-sized, item 2)."""
+    LAST_REWRITE_BYTES (touched-partition-sized, item 2; keys
+    query-prefixed via `meter`). Epochs whose verified-pair set is
+    empty skip the iterative CC entirely (identity labels — no merge
+    can happen without a new edge), and quiet state relations skip
+    their version bump inside selective_state_rewrite."""
     from pyspark.sql import types as T
 
     from .curation_queries import connected_components
@@ -849,6 +1053,10 @@ def _cluster_epoch(
                 ]
             ),
         )
+    # One scan each, many consumers (cur, chg_old / old_contrib, both
+    # rewrites): cache the narrow state frames for the epoch (VERDICT
+    # r12 item 3) instead of re-listing the version dir per job.
+    st = st.persist()
     comp_st = _versioned_read(s, comp_root)
     if comp_st is None:
         comp_st = s.createDataFrame(
@@ -861,6 +1069,7 @@ def _cluster_epoch(
                 ]
             ),
         )
+    comp_st = comp_st.persist()
     # Involved classes: the batch's classes plus every verified-pair
     # endpoint (each pair has >= 1 new-this-epoch side). Node id = the
     # class's CURRENT root (state) or its own rep_id (new class) — the
@@ -883,28 +1092,40 @@ def _cluster_epoch(
         )
         .select("cfp", F.coalesce("root", "nrep").alias("node"))
     ).persist()
-    e_nodes = (
-        edges0.join(
-            cur.select("cfp", F.col("node").alias("src")), "cfp"
-        )
-        .join(
-            cur.select(
-                F.col("cfp").alias("other"), F.col("node").alias("dst")
-            ),
-            "other",
-        )
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    labels = connected_components(
-        cur.select(F.col("node").alias("id")).distinct(),
-        e_nodes.unionByName(
-            e_nodes.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+    # No verified pairs this epoch -> no edge can merge anything:
+    # labels are the identity and the iterative CC (one join + agg +
+    # checkpoint job PER ROUND) is skipped outright — the common case
+    # on a content-diverse stream, and a large slice of the r12
+    # per-epoch job-count constant (VERDICT r12 item 3). cp_new is
+    # already materialized (the kernel's class_pairs append), so the
+    # probe reads cached partitions.
+    if cp_new.isEmpty():
+        labels = cur.select(
+            F.col("node").alias("id"), F.col("node").alias("comp")
+        ).distinct()
+    else:
+        e_nodes = (
+            edges0.join(
+                cur.select("cfp", F.col("node").alias("src")), "cfp"
             )
-        ),
-    )
+            .join(
+                cur.select(
+                    F.col("cfp").alias("other"), F.col("node").alias("dst")
+                ),
+                "other",
+            )
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        labels = connected_components(
+            cur.select(F.col("node").alias("id")).distinct(),
+            e_nodes.unionByName(
+                e_nodes.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            ),
+        )
     merged = labels.filter(F.col("comp") != F.col("id")).persist()
     # Component min-arrived-doc: old comp rows of touched roots are
     # relabeled and min-merged with the batch's per-class mins — the
@@ -923,21 +1144,23 @@ def _cluster_epoch(
         .groupBy("root")
         .agg(F.min("cmin").alias("cmin"))
     ).persist()
-    # At-arrival emission (output-sized): every batch doc resolves
-    # through class -> node -> component label -> component min.
+    # At-arrival emission (output-sized, LAZY): every batch doc
+    # resolves through class -> node -> component label -> component
+    # min; the caller's ledger append materializes it.
     hits = (
         members_b.select("doc_id", "cfp")
         .join(cur, "cfp")
         .join(labels.withColumnRenamed("id", "node"), "node")
         .join(comp_new, F.col("comp") == F.col("root"))
         .select("doc_id", F.col("cmin").alias("cluster_id"))
-        .collect()
     )
     # Selective state rewrites (VERDICT r11 item 2). Roots: rows whose
     # root merged away (relabel through `merged` — a broadcast probe
     # over the narrow state scan) plus this epoch's new classes; rows
     # of untouched components are never rewritten (their partitions
-    # hardlink forward).
+    # hardlink forward). Quiet epochs skip the version bump inside
+    # selective_state_rewrite — the former isEmpty() pre-probes are
+    # gone (VERDICT r12 item 3).
     chg_old = st.join(
         F.broadcast(merged.withColumnRenamed("id", "root")), "root"
     ).select("cfp", "rep_id", F.col("comp").alias("root"))
@@ -951,25 +1174,19 @@ def _cluster_epoch(
     upserts = chg_old.unionByName(chg_new).withColumn(
         "pb", _pb(F.col("cfp"))
     )
-    wb = 0
-    if not upserts.isEmpty():
-        wb = selective_state_rewrite(s, roots_root, upserts, ("cfp",))
-    LAST_REWRITE_BYTES.setdefault("roots", []).append(wb)
+    wb = selective_state_rewrite(s, roots_root, upserts, ("cfp",))
+    LAST_REWRITE_BYTES.setdefault(f"{meter}_roots", []).append(wb)
     # Comp rows: upsert every touched component's (root, cmin); delete
     # absorbed roots (their label merged into another component's).
     comp_up = comp_new.withColumn("pb", _pb(F.col("root")))
     comp_del = merged.select(F.col("id").alias("root")).withColumn(
         "pb", _pb(F.col("root"))
     )
-    wb2 = 0
-    if not comp_up.isEmpty() or not comp_del.isEmpty():
-        wb2 = selective_state_rewrite(
-            s, comp_root, comp_up, ("root",), delete_keys=comp_del
-        )
-    LAST_REWRITE_BYTES.setdefault("comp", []).append(wb2)
-    for c in (batch_cls, cur, merged, comp_new):
-        c.unpersist()
-    return hits
+    wb2 = selective_state_rewrite(
+        s, comp_root, comp_up, ("root",), delete_keys=comp_del
+    )
+    LAST_REWRITE_BYTES.setdefault(f"{meter}_comp", []).append(wb2)
+    return hits, [batch_cls, cur, merged, comp_new, st, comp_st]
 
 
 def _cluster_stream_oracle() -> str:
@@ -1112,7 +1329,15 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    LAST_REWRITE_BYTES.clear()  # last-run semantics, like LAST_STATE_ROWS
+    _clear_meters("q_cluster_stream")
+    LAST_CLUSTER_STATE.clear()  # unconditional (ADVICE r12 item 4)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -1124,12 +1349,12 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ip = _index_paths(root)
         roots_root = os.path.join(root, "roots")
         comp_root = os.path.join(root, "comp")
+        ledger = os.path.join(root, "ledger")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        log: list = []
         epoch = [0]
 
         def per_batch(batch_df: DataFrame, _bid: int) -> None:
@@ -1140,15 +1365,23 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             flt = batch_df.filter(F.size(words("text")) >= 3).select(
                 "doc_id", "text", F.md5("text").alias("cfp")
             )
-            members_b, new_cls, cp_new, extra = _index_epoch(
-                s, b, flt, ip
+            members_b, new_cls, cp_new, extra, _pbs = _index_epoch(
+                s, b, flt, ip, meter="q_cluster_stream"
             )
-            hits = _cluster_epoch(
-                s, b, members_b, new_cls, cp_new, roots_root, comp_root
+            hits, caches = _cluster_epoch(
+                s, b, members_b, new_cls, cp_new, roots_root,
+                comp_root, meter="q_cluster_stream",
             )
-            for r in sorted(hits, key=lambda r: r["doc_id"]):
-                log.append((b, r["doc_id"], r["cluster_id"]))
-            for c in (members_b, new_cls, cp_new, *extra):
+            # Ledger append IS the emission (VERDICT r12 item 2): the
+            # per-epoch output lands in the sink relation, never a
+            # driver list — and this write is the action materializing
+            # the epoch's lazy assignment frame.
+            hits.select(
+                F.lit(b).cast("long").alias("batch_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+            ).write.mode("append").parquet(ledger)
+            for c in (members_b, new_cls, cp_new, *extra, *caches):
                 c.unpersist()
 
         q = (
@@ -1160,30 +1393,25 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         from .sketch_stream_queries import LAST_STATE_ROWS
 
-        LAST_STATE_ROWS["q_cluster_stream_roots"] = _versioned_read(
-            spark, roots_root
-        ).count()
-        LAST_STATE_ROWS["q_cluster_stream_comps"] = _versioned_read(
-            spark, comp_root
-        ).count()
-        if INSTRUMENT_COLLECT:
-            LAST_CLUSTER_STATE.clear()
+        rd = _versioned_read(spark, roots_root)
+        LAST_STATE_ROWS["q_cluster_stream_roots"] = (
+            rd.count() if rd is not None else 0
+        )
+        cd = _versioned_read(spark, comp_root)
+        LAST_STATE_ROWS["q_cluster_stream_comps"] = (
+            cd.count() if cd is not None else 0
+        )
+        if INSTRUMENT_COLLECT and rd is not None and cd is not None:
             LAST_CLUSTER_STATE.extend(
                 (r["doc_id"], r["cluster_id"])
                 for r in _final_assignment(
                     spark, ip, roots_root, comp_root
                 ).collect()
             )
+        out = _ledger_result(spark, ledger, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    schema = T.StructType(
-        [
-            T.StructField("batch_id", T.LongType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cluster_id", T.LongType()),
-        ]
-    )
-    return spark.createDataFrame(log, schema)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1362,7 +1590,17 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    LAST_REWRITE_BYTES.clear()  # last-run semantics, like LAST_STATE_ROWS
+    _clear_meters("q_ingest_stream")
+    LAST_CLUSTER_STATE.clear()  # unconditional (ADVICE r12 item 4)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="ingest_stream_")
     try:
@@ -1370,12 +1608,12 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ip = _index_paths(root)
         roots_root = os.path.join(root, "roots")
         comp_root = os.path.join(root, "comp")
+        ledger = os.path.join(root, "ledger")
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        log: list = []
         epoch = [0]
 
         def per_batch(batch_df: DataFrame, _bid: int) -> None:
@@ -1384,47 +1622,57 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch[0] += 1
             _assert_batch_membership(batch_df, b)
             qp = _quality_classes(batch_df)
-            members_b, new_cls, cp_new, extra = _index_epoch(
-                s, b, qp, ip
+            members_b, new_cls, cp_new, extra, batch_pbs = _index_epoch(
+                s, b, qp, ip, meter="q_ingest_stream"
             )
-            hits = _cluster_epoch(
-                s, b, members_b, new_cls, cp_new, roots_root, comp_root
+            hits, caches = _cluster_epoch(
+                s, b, members_b, new_cls, cp_new, roots_root,
+                comp_root, meter="q_ingest_stream",
             )
-            cl_of = {r["doc_id"]: r["cluster_id"] for r in hits}
             # Representative lookup: earlier-epoch classes from the
-            # admitted-class state (epoch-tagged read), this epoch's
-            # from the kernel's census.
+            # admitted-class state — BUCKET-PRUNED to the batch's cfp
+            # buckets (VERDICT r12 item 1: this was the one full
+            # classes-state scan left outside the kernel) — this
+            # epoch's from the kernel's census.
             rep_map = new_cls.select("cfp", "rep_id")
-            if b > 0:
+            if b > 0 and _has_state(ip["classes"]):
                 rep_map = (
-                    s.read.parquet(ip["classes"])
-                    .filter(F.col("b_id") < b)
+                    _pruned_scan(
+                        s, ip["classes"], batch_pbs, b,
+                        "q_ingest_stream_rep_map",
+                    )
                     .select("cfp", "rep_id")
                     .unionByName(rep_map)
                 )
-            rep_of = {
-                r["doc_id"]: r["rep_id"]
-                for r in members_b.select("doc_id", "cfp")
-                .join(rep_map, "cfp")
-                .select("doc_id", "rep_id")
-                .collect()
-            }
-            # Ledger: one row per ARRIVAL (batch-sized == output-sized
-            # collect; a production sink appends it to a parquet
-            # ledger relation instead of the driver log).
-            for r in sorted(
-                batch_df.select("doc_id").collect(),
-                key=lambda r: r["doc_id"],
-            ):
-                doc = r["doc_id"]
-                rep = rep_of.get(doc)
-                if rep is None:
-                    log.append((b, doc, "quality_fail", None, None))
-                elif doc == rep:
-                    log.append((b, doc, "admitted", None, cl_of[doc]))
-                else:
-                    log.append((b, doc, "duplicate", rep, cl_of[doc]))
-            for c in (members_b, new_cls, cp_new, *extra):
+            # Ledger: one row per ARRIVAL, built relation-side and
+            # APPENDED to the sink (VERDICT r12 item 2 — the former
+            # shape collected the batch and its rep/cluster maps to
+            # the driver and accumulated all epochs in a list):
+            # quality-failing rows miss the members join (null
+            # rep_id); duplicates name their class representative;
+            # every quality-passing row carries its at-arrival
+            # cluster.
+            (
+                batch_df.select("doc_id")
+                .join(members_b.select("doc_id", "cfp"), "doc_id", "left")
+                .join(rep_map, "cfp", "left")
+                .join(hits, "doc_id", "left")
+                .select(
+                    F.lit(b).cast("long").alias("batch_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.when(F.col("rep_id").isNull(), "quality_fail")
+                    .when(F.col("rep_id") == F.col("doc_id"), "admitted")
+                    .otherwise("duplicate")
+                    .alias("status"),
+                    F.when(
+                        F.col("rep_id") != F.col("doc_id"), F.col("rep_id")
+                    )
+                    .cast("long")
+                    .alias("dup_of"),
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                )
+            ).write.mode("append").parquet(ledger)
+            for c in (members_b, new_cls, cp_new, *extra, *caches):
                 c.unpersist()
 
         q = (
@@ -1436,32 +1684,25 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         from .sketch_stream_queries import LAST_STATE_ROWS
 
-        LAST_STATE_ROWS["q_ingest_stream_classes"] = spark.read.parquet(
-            ip["classes"]
-        ).count()
-        LAST_STATE_ROWS["q_ingest_stream_roots"] = _versioned_read(
-            spark, roots_root
-        ).count()
-        LAST_STATE_ROWS["q_ingest_stream_comps"] = _versioned_read(
-            spark, comp_root
-        ).count()
-        if INSTRUMENT_COLLECT:
-            LAST_CLUSTER_STATE.clear()
+        LAST_STATE_ROWS["q_ingest_stream_classes"] = _state_count(
+            spark, ip["classes"]
+        )
+        rd = _versioned_read(spark, roots_root)
+        LAST_STATE_ROWS["q_ingest_stream_roots"] = (
+            rd.count() if rd is not None else 0
+        )
+        cd = _versioned_read(spark, comp_root)
+        LAST_STATE_ROWS["q_ingest_stream_comps"] = (
+            cd.count() if cd is not None else 0
+        )
+        if INSTRUMENT_COLLECT and rd is not None and cd is not None:
             LAST_CLUSTER_STATE.extend(
                 (r["doc_id"], r["cluster_id"])
                 for r in _final_assignment(
                     spark, ip, roots_root, comp_root
                 ).collect()
             )
+        out = _ledger_result(spark, ledger, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    schema = T.StructType(
-        [
-            T.StructField("batch_id", T.LongType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("status", T.StringType()),
-            T.StructField("dup_of", T.LongType()),
-            T.StructField("cluster_id", T.LongType()),
-        ]
-    )
-    return spark.createDataFrame(log, schema)
+    return out

@@ -331,7 +331,7 @@ def test_cluster_stream_selective_rewrite_bytes(spark, tmp_path):
     LAST_REWRITE_BYTES.clear()
     out = query_fns()["q_cluster_stream"](spark, str(tmp_path)).collect()
     assert len(out) == 203
-    wb = LAST_REWRITE_BYTES["roots"]
+    wb = LAST_REWRITE_BYTES["q_cluster_stream_roots"]
     assert len(wb) == SK_BATCHES
     assert wb[0] > 0
     for later in wb[1:]:
