@@ -74,8 +74,25 @@ NEAR_STREAM_BUCKET_CAP = NEAR_BUCKET_CAP
 # per-epoch read bytes must scale with the epoch's TOUCHED buckets,
 # not total state). Entries for a query are cleared when that query
 # starts (prefix-scoped, so cluster/ingest runs in one session never
-# misattribute — ADVICE r12 item 5 applied to both meters).
+# misattribute — ADVICE r12 item 5 applied to both meters). A
+# full-scan epoch (below the adaptive threshold) records
+# (total, total).
 LAST_READ_BYTES: dict[str, list[tuple[int, int]]] = {}
+
+# Adaptive pruning gate (the contraction_worthwhile pattern applied to
+# scan pruning): resolving an epoch's touched-bucket list is a tiny
+# driver round-trip (one collect_set job), but on a state relation of
+# a few MB the full scan is CHEAPER than that job — measured r13 at
+# sf0.1, always-prune cost q_dedup_near_stream ~+1.5 s/epoch for
+# zero IO saved (every bucket touched anyway). Below this physical
+# size the probes scan the whole relation (same semantics — the
+# bucket predicate only ever removes rows the equi-joins could not
+# match); above it, per-epoch read bytes scale with the epoch's
+# touched buckets, which is the property that matters on a
+# corpus-linear relation at 100 TB. Tests lower it to 0 to pin the
+# pruned path; the size check is a local-FS walk standing in for
+# catalog statistics.
+PRUNE_MIN_STATE_BYTES = 32 << 20
 
 
 def _assert_batch_membership(batch_df: DataFrame, b: int) -> None:
@@ -173,37 +190,77 @@ def _meter_read(path: str, buckets: list[int], key: str) -> None:
     )
 
 
+def _pb_append(df: DataFrame, path: str) -> None:
+    """Append one epoch's rows to a pb-partitioned state relation with
+    rows CLUSTERED by bucket (repartition on pb) so each touched bucket
+    receives exactly one file per epoch — the small-file discipline the
+    selective rewrite already has (its fresh partitions are written the
+    same way), for the append-only relations."""
+    df.repartition("pb").write.partitionBy("pb").mode("append").parquet(
+        path
+    )
+
+
 def _pruned_scan(
     s: SparkSession,
     path: str,
-    buckets: list[int],
+    buckets,
     b: int,
     meter_key: str | None = None,
 ) -> DataFrame:
     """Bucket-pruned, epoch-tagged read of a pb-partitioned append
     state relation (VERDICT r12 item 1): the caller knows which pb
-    buckets the epoch's probe keys hash into, so the scan carries a
-    partition-pruning isin predicate — per-epoch read cost scales with
-    TOUCHED buckets, while the b_id < b tag keeps this epoch's own
-    appends invisible (the r11 refreshByPath discipline, unchanged).
-    An empty bucket list short-circuits to an always-false predicate
-    (isin() with zero values is invalid SQL)."""
+    buckets the epoch's probe keys hash into — `buckets` is a list or
+    a zero-arg callable resolving to one (_lazy_pbs, so the bucket
+    round-trip runs only when a scan actually prunes) — and the scan
+    carries a partition-pruning isin predicate: per-epoch read cost
+    scales with TOUCHED buckets, while the b_id < b tag keeps this
+    epoch's own appends invisible (the r11 refreshByPath discipline,
+    unchanged). Relations physically below PRUNE_MIN_STATE_BYTES scan
+    in full instead (see the constant — the predicate is redundant
+    with the equi-joins, so this is a pure plan choice). An empty
+    bucket list short-circuits to an always-false predicate (isin()
+    with zero values is invalid SQL)."""
+    total = _dir_bytes(path)
+    if total < PRUNE_MIN_STATE_BYTES:
+        if meter_key is not None:
+            LAST_READ_BYTES.setdefault(meter_key, []).append(
+                (total, total)
+            )
+        return s.read.parquet(path).filter(F.col("b_id") < b)
+    pbs = buckets() if callable(buckets) else buckets
     if meter_key is not None:
-        _meter_read(path, buckets, meter_key)
+        _meter_read(path, pbs, meter_key)
     df = s.read.parquet(path)
-    pred = F.col("pb").isin(buckets) if buckets else F.lit(False)
+    pred = F.col("pb").isin(pbs) if pbs else F.lit(False)
     return df.filter(pred & (F.col("b_id") < b))
 
 
 def _distinct_pbs(df: DataFrame, col) -> list[int]:
     """The sorted distinct pb buckets a key column hashes into — the
-    tiny driver round-trip (bounded by ROOT_PB values after a map-side
-    partial distinct) that turns an epoch's touched-key set into a
-    literal partition predicate for _pruned_scan."""
-    return sorted(
-        r["pb"]
-        for r in df.select(col.alias("pb")).distinct().collect()
-    )
+    tiny driver round-trip (bounded by ROOT_PB values) that turns an
+    epoch's touched-key set into a literal partition predicate for
+    _pruned_scan. One global collect_set aggregate: map-side partials
+    feed a single final task and one result row — measurably cheaper
+    per epoch than a distinct + exchange + 32-partition collect."""
+    row = df.agg(F.collect_set(col.alias("pb")).alias("pbs")).first()
+    return sorted(row["pbs"])
+
+
+def _lazy_pbs(df: DataFrame, col):
+    """Deferred, memoized touched-bucket list: the collect_set job runs
+    the FIRST time a consumer actually prunes with it (i.e. only when
+    some state relation cleared PRUNE_MIN_STATE_BYTES) and its result
+    is shared by every later consumer in the epoch. Callers must
+    resolve it only while `df`'s caches/lineage are valid."""
+    box: list = []
+
+    def get() -> list[int]:
+        if not box:
+            box.append(_distinct_pbs(df, col))
+        return box[0]
+
+    return get
 
 
 def _index_epoch(
@@ -258,7 +315,7 @@ def _index_epoch(
         F.min("doc_id").alias("rep_id"),
         F.min_by("text", "doc_id").alias("text"),
     ).persist()
-    batch_pbs = _distinct_pbs(agg_b, _pb(F.col("cfp")))
+    batch_pbs = _lazy_pbs(agg_b, _pb(F.col("cfp")))
     if _has_state(ip["classes"]):
         new_cls = agg_b.join(
             _pruned_scan(
@@ -269,7 +326,16 @@ def _index_epoch(
         )
     else:
         new_cls = agg_b.select("cfp", "rep_id", "text")
-    new_cls = new_cls.persist()
+    # localCheckpoint, not persist: new_cls outlives this epoch's
+    # appends (the cluster epoch and the ingest rep_map consume it
+    # after them), and the appends INVALIDATE every cached plan that
+    # references the appended paths (Spark recacheByPath) — a merely
+    # persisted new_cls would silently recompute its classes-state
+    # left_anti for each post-append consumer. Truncating the lineage
+    # to the materialized RDD makes it immune (measured r13: the
+    # invalidation cascade re-ran the candidate+verify pipeline 2-3x
+    # per epoch).
+    new_cls = new_cls.localCheckpoint(eager=False)
     sh_n = doc_shingle_hashes(
         new_cls.select("cfp", "text"), "cfp", "text", out="sh"
     ).select(F.col("_id").alias("cfp"), "sh").persist()
@@ -283,7 +349,7 @@ def _index_epoch(
             lsh_bands(F.col("_sig"), NEAR_STREAM_BANDS, rows_per_band)
         ).alias("bb"),
     ).select("cfp", "bb.band_id", "bb.band_hash").persist()
-    band_pbs = _distinct_pbs(
+    band_pbs = _lazy_pbs(
         bands_n, _pb(F.col("band_id"), F.col("band_hash"))
     )
     all_bands = bands_n
@@ -293,10 +359,12 @@ def _index_epoch(
             .select("cfp", "band_id", "band_hash")
             .unionByName(bands_n)
         )
+    # `hit` feeds both the occupancy census and the candidate join —
+    # persist so the (pruned state + batch) band probe runs once.
     hit = all_bands.join(
         bands_n.select("band_id", "band_hash").distinct(),
         ["band_id", "band_hash"],
-    )
+    ).persist()
     occ_ok = (
         hit.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("n"))
@@ -321,7 +389,7 @@ def _index_epoch(
         .distinct()
         .persist()
     )
-    cand_pbs = _distinct_pbs(
+    cand_pbs = _lazy_pbs(
         cand.select(
             F.explode(
                 F.array(_pb(F.col("cfp_a")), _pb(F.col("cfp_b")))
@@ -338,6 +406,10 @@ def _index_epoch(
             .select("cfp", "sh")
             .unionByName(sh_n)
         )
+    # pv persisted: cp_new unions both orientations of it, and an
+    # unpersisted pv would run the two shingle verify joins TWICE
+    # (unionByName duplicates the subtree) — the single largest
+    # per-epoch compute.
     pv = (
         cand.join(
             sh_all.select(
@@ -357,7 +429,14 @@ def _index_epoch(
             F.round(jaccard(F.col("sha"), F.col("shb")), 6).alias("jac"),
         )
         .filter(F.col("jac") >= NEAR_STREAM_JAC)
+        .persist()
     )
+    # EAGER localCheckpoint: cp_new is the epoch's hot output — the
+    # emission, the cluster epoch's delta graph, and the class_pairs
+    # append all read it, mostly AFTER the state appends below, whose
+    # recacheByPath would invalidate a persisted plan and re-run the
+    # whole candidate+verify pipeline per consumer. Materializing the
+    # pair set once here (caches still valid) pins it for the epoch.
     cp_new = (
         pv.select(
             F.col("cfp_a").alias("cfp"),
@@ -370,25 +449,48 @@ def _index_epoch(
                 "jac",
             )
         )
-    ).persist()
-    members_b.withColumn("pb", _pb(F.col("cfp"))).write.partitionBy(
-        "pb"
-    ).mode("append").parquet(ip["members"])
-    bands_n.withColumn("b_id", F.lit(b)).withColumn(
-        "pb", _pb(F.col("band_id"), F.col("band_hash"))
-    ).write.partitionBy("pb").mode("append").parquet(ip["bands"])
-    sh_n.withColumn("b_id", F.lit(b)).withColumn(
-        "pb", _pb(F.col("cfp"))
-    ).write.partitionBy("pb").mode("append").parquet(ip["shingles"])
-    new_cls.select("cfp", "rep_id").withColumn(
-        "b_id", F.lit(b)
-    ).withColumn("pb", _pb(F.col("cfp"))).write.partitionBy(
-        "pb"
-    ).mode("append").parquet(ip["classes"])
-    cp_new.withColumn("b_id", F.lit(b)).withColumn(
-        "pb", _pb(F.col("cfp"))
-    ).write.partitionBy("pb").mode("append").parquet(ip["class_pairs"])
-    return members_b, new_cls, cp_new, [sh_n, agg_b, bands_n, cand], batch_pbs
+    ).localCheckpoint(eager=True)
+    # Appends CLUSTER rows by pb first (_pb_append): without the
+    # repartition, every one of the ~32 upstream tasks writes a file
+    # into every bucket dir it touches — ~1000 files per relation per
+    # epoch, and the per-file commit renames + relistings dominated
+    # the epoch wall (measured r13: q_dedup_near_stream 37 s -> 126 s
+    # at sf0.1 before this fix). One batch-sized shuffle per append
+    # buys one file per touched bucket per epoch.
+    _pb_append(
+        members_b.withColumn("pb", _pb(F.col("cfp"))), ip["members"]
+    )
+    _pb_append(
+        bands_n.withColumn("b_id", F.lit(b)).withColumn(
+            "pb", _pb(F.col("band_id"), F.col("band_hash"))
+        ),
+        ip["bands"],
+    )
+    _pb_append(
+        sh_n.withColumn("b_id", F.lit(b)).withColumn(
+            "pb", _pb(F.col("cfp"))
+        ),
+        ip["shingles"],
+    )
+    _pb_append(
+        new_cls.select("cfp", "rep_id")
+        .withColumn("b_id", F.lit(b))
+        .withColumn("pb", _pb(F.col("cfp"))),
+        ip["classes"],
+    )
+    _pb_append(
+        cp_new.withColumn("b_id", F.lit(b)).withColumn(
+            "pb", _pb(F.col("cfp"))
+        ),
+        ip["class_pairs"],
+    )
+    return (
+        members_b,
+        new_cls,
+        cp_new,
+        [sh_n, agg_b, bands_n, cand, hit, pv],
+        batch_pbs,
+    )
 
 
 @register(
@@ -572,7 +674,7 @@ def q_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .join(cp_all, "cfp")
                     .persist()
                 )
-                other_pbs = _distinct_pbs(inc, _pb(F.col("other")))
+                other_pbs = _lazy_pbs(inc, _pb(F.col("other")))
                 cross = inc.join(
                     _pruned_scan(
                         s, ip["members"], other_pbs, b,
@@ -776,21 +878,29 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             st = _versioned_read(s, state_root)
             if st is not None:
-                # Bucket-pruned probe: an admitted fp equal to a batch
-                # fp must share its pb, so scanning only the batch's
+                # Bucket-pruned probe (same adaptive gate as
+                # _pruned_scan): an admitted fp equal to a batch fp
+                # must share its pb, so scanning only the batch's
                 # buckets preserves left_anti semantics exactly.
-                pbs = _distinct_pbs(fps, F.col("pb"))
-                v = _latest_version(state_root)
-                _meter_read(
-                    os.path.join(state_root, f"v{v}"),
-                    pbs,
-                    "q_curation_stream_admitted_read",
+                vdir = os.path.join(
+                    state_root, f"v{_latest_version(state_root)}"
                 )
-                pred = (
-                    F.col("pb").isin(pbs) if pbs else F.lit(False)
-                )
+                total = _dir_bytes(vdir)
+                if total < PRUNE_MIN_STATE_BYTES:
+                    LAST_READ_BYTES.setdefault(
+                        "q_curation_stream_admitted_read", []
+                    ).append((total, total))
+                    probe = st
+                else:
+                    pbs = _distinct_pbs(fps, F.col("pb"))
+                    _meter_read(
+                        vdir, pbs, "q_curation_stream_admitted_read"
+                    )
+                    probe = st.filter(
+                        F.col("pb").isin(pbs) if pbs else F.lit(False)
+                    )
                 new = fps.join(
-                    st.filter(pred).select("fp"), "fp", "left_anti"
+                    probe.select("fp"), "fp", "left_anti"
                 )
             else:
                 new = fps
@@ -951,7 +1061,9 @@ def selective_state_rewrite(
     if v is None:
         os.makedirs(root, exist_ok=True)
         new_dir = os.path.join(root, "v0")
-        upserts.write.partitionBy("pb").parquet(new_dir)
+        upserts.repartition("pb").write.partitionBy("pb").parquet(
+            new_dir
+        )
         return _dir_bytes(new_dir)
     cur_dir = os.path.join(root, f"v{v}")
     new_dir = os.path.join(root, f"v{v + 1}")
@@ -960,9 +1072,9 @@ def selective_state_rewrite(
     keep = cur.filter(F.col("pb").isin(affected)).join(
         changed.select(*key_cols).distinct(), list(key_cols), "left_anti"
     )
-    keep.unionByName(upserts.select(*keep.columns)).write.partitionBy(
+    keep.unionByName(upserts.select(*keep.columns)).repartition(
         "pb"
-    ).parquet(tmp)
+    ).write.partitionBy("pb").parquet(tmp)
     written = _dir_bytes(tmp)
     aff = set(affected)
     for entry in os.listdir(cur_dir):

@@ -341,6 +341,65 @@ def test_cluster_stream_selective_rewrite_bytes(spark, tmp_path):
         )
 
 
+def test_index_reads_bucket_pruned_and_output_invariant(
+    spark, tmp_path
+):
+    """VERDICT r12 item 1's done-criteria: with the adaptive gate
+    forced open (PRUNE_MIN_STATE_BYTES = 0), the per-epoch admission /
+    candidate / verify probes push the epoch's touched-bucket
+    predicate into the state scans — LAST_READ_BYTES must show later
+    one-doc epochs reading a small fraction of the classes relation's
+    bytes — and the emitted ledger must be IDENTICAL to the
+    full-scan plan's (the bucket predicate only ever removes rows the
+    equi-joins could not match). Epoch-0 writes 200 singleton classes
+    across all buckets; epochs 1-3 each add one doc (one or two
+    touched buckets)."""
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+    from confluent_example_firehose_spark.registry import query_fns
+
+    rows = [
+        (4 * i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(200)
+    ] + [
+        (1, "x1a x1b x1c x1d x1e"),
+        (5, "x1a x1b x1c x1d x1e"),  # exact dup of doc 1, epoch 1
+        (2, "w7a w7b w7c w7d w7e"),  # exact dup of an epoch-0 doc
+        (3, "z3a z3b z3c z3d z3e"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fn = query_fns()["q_dedup_near_stream"]
+    full = {
+        (r["batch_id"], r["doc_id"], r["dup_of"], r["jac"])
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+    assert full, "corpus has cross-epoch duplicates by construction"
+    old = m.PRUNE_MIN_STATE_BYTES
+    m.PRUNE_MIN_STATE_BYTES = 0
+    try:
+        pruned = {
+            (r["batch_id"], r["doc_id"], r["dup_of"], r["jac"])
+            for r in fn(spark, str(tmp_path)).collect()
+        }
+        reads = dict(m.LAST_READ_BYTES)
+    finally:
+        m.PRUNE_MIN_STATE_BYTES = old
+    assert pruned == full
+    # The classes admission probe is metered for every epoch with
+    # state (1..3); the one-class epochs must touch a small fraction
+    # of the 200-class relation's bytes.
+    cls = reads["q_dedup_near_stream_classes"]
+    assert len(cls) == SK_BATCHES - 1
+    for touched, total in cls:
+        assert 0 < touched < total / 4, (
+            f"one-class epoch read {touched} of {total} classes-state "
+            "bytes — the probe scan is not bucket-pruned"
+        )
+    # Shingle verify reads only the candidate pairs' buckets.
+    for touched, total in reads["q_dedup_near_stream_shingles"]:
+        assert touched <= total
+
+
 def test_ingest_stream_ledger_laws(spark, sf_dir, fns):
     """Capstone ledger partition + cross-operator admission law: every
     arrival appears exactly once with a consistent status; per-batch
