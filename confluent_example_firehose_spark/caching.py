@@ -62,6 +62,74 @@ def materialize_unpersist(
     return out
 
 
+# Session-cached one-row corpus-scalar frames (VERDICT r12 item 5 —
+# the adaptive-dedup memo pattern generalized): keyed by application,
+# resolved corpus path, table, tag, and a file-level data identity, so
+# a regenerated corpus or a new session can never serve stale scalars.
+# Values are PERSISTED lazy frames, not collected scalars — building
+# one launches no job (the r3 plan-inspection rule), and the first
+# action of whichever query runs first populates the Spark cache every
+# later run of ANY query sharing the scalar then reuses.
+_CORPUS_FRAMES: dict[tuple, DataFrame] = {}
+_CORPUS_FRAMES_CAP = 256
+
+
+def table_identity(sf_dir: str, table: str) -> tuple:
+    """File-level identity of a catalog table dir — (name, size,
+    mtime_ns) per data file (catalog layout `<sf_dir>/<table>.parquet`,
+    catalog.table_path). Ties a memo entry to the BYTES it was computed
+    from; missing paths yield an empty identity rather than raising
+    (the query's own scan produces the authoritative error)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((table, st.st_size, st.st_mtime_ns),)
+    if not os.path.isdir(path):
+        return ()
+    out = []
+    for base, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(base, fn))
+            out.append((fn, st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
+
+
+def corpus_scalars(spark, sf_dir: str, table: str, tag: str, build):
+    """A persisted one-row scalar frame over an immutable corpus,
+    shared across query invocations in the session. `build` is a
+    zero-arg callable returning the LAZY aggregate frame; it runs (and
+    is persisted) only on the first request for this (corpus, tag) —
+    later invocations of the same query, or of any query sharing the
+    scalar, reuse the cached single row instead of re-aggregating
+    (often re-tokenizing) the corpus. Construction is side-effect-free:
+    no job runs until a consumer acts on the returned frame."""
+    import os
+
+    sf_real = os.path.realpath(sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_real,
+        table,
+        tag,
+        table_identity(sf_real, table),
+    )
+    df = _CORPUS_FRAMES.get(key)
+    if df is None:
+        if len(_CORPUS_FRAMES) >= _CORPUS_FRAMES_CAP:
+            # Stale identities of regenerated paths / dead sessions
+            # would otherwise accumulate forever. The frames are
+            # one-row caches; dropping the dict without unpersisting
+            # leaves them to the ContextCleaner.
+            _CORPUS_FRAMES.clear()
+        df = build().persist()
+        _CORPUS_FRAMES[key] = df
+    return df
+
+
 def drain_pending() -> int:
     """Release every deferred builder cache. Called at query start by
     the driver-contract wrapper (__spark_entry__), between bench runs,

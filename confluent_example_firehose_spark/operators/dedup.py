@@ -463,28 +463,12 @@ _DUP_STATS_MEMO_CAP = 256
 
 
 def _table_identity(sf_dir: str, table: str) -> tuple:
-    """File-level identity of a catalog table dir — (name, size,
-    mtime_ns) per data file, the memo-key component that ties a cached
-    corpus stat to the BYTES it was computed from (the catalog layout
-    is `<sf_dir>/<table>.parquet`, catalog.table_path). Missing paths
-    hash to an empty identity rather than raising: the subsequent
-    aggregate produces the authoritative error/answer."""
-    import os
+    """File-level identity of a catalog table dir — the shared
+    caching.table_identity (one implementation for this memo and the
+    corpus-scalar frame memo)."""
+    from ..caching import table_identity
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isfile(path):
-        st = os.stat(path)
-        return ((table, st.st_size, st.st_mtime_ns),)
-    if not os.path.isdir(path):
-        return ()
-    out = []
-    for base, _dirs, files in os.walk(path):
-        for fn in sorted(files):
-            if fn.startswith(("_", ".")):
-                continue
-            st = os.stat(os.path.join(base, fn))
-            out.append((fn, st.st_size, st.st_mtime_ns))
-    return tuple(sorted(out))
+    return table_identity(sf_dir, table)
 
 
 def adaptive_dup_stats(

@@ -99,7 +99,18 @@ def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     corpus = tf.groupBy("gram").agg(F.sum("tf").alias("cnt"))
-    tot = corpus.agg(F.sum("cnt").alias("total"))
+    # Corpus-scalar memo (VERDICT r12 item 5): the grand-total branch
+    # would otherwise recompute the whole bigram census per run (the
+    # census also feeds the per-doc join, so the query paid it twice).
+    from ..caching import corpus_scalars
+
+    tot = corpus_scalars(
+        spark,
+        sf_dir,
+        "documents",
+        "bigram_total",
+        lambda: corpus.agg(F.sum("cnt").alias("total")),
+    )
     per_doc = (
         tf.join(corpus, "gram")
         .groupBy("doc_id")
