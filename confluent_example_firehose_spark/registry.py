@@ -63,16 +63,16 @@ def register(name: str, oracle: OracleSpec = None):
 # queries whose output or oracle changed this round), then everything
 # else, least-recently-checked first.
 _RECHECK: tuple[str, ...] = (
-    # r12: empty by design. The round's behavior-shaped edits are all
-    # visible to the 2b detector: the adaptive-decision rework lives in
-    # the changed bodies of q_dedup_near / q_dedup_simhash /
-    # q_dedup_simhash8 (dedup.py's kernel edits are reached only
-    # through them), and the cluster-stream rewire + shared index
-    # kernel changed dedup_stream_queries' module residue, promoting
-    # that module's whole backlog (near_stream / curation_stream /
-    # cluster_stream). q_ingest_stream is tier-1 new. That leaves ~43
-    # slots for tier 3, which is exactly the 38-row r7 staleness
-    # cohort (VERDICT r11 item 4) plus the stalest r8 heads.
+    # r13: the dedup.py KERNEL edits (NEAR_BUCKET_CAP shared constant,
+    # data-identity memo keys) change plan choice for the simhash pair
+    # without touching any registered function body — exactly the
+    # kernel-only case the AST 2b detector cannot see. Everything else
+    # this round is visible to 2b: the stream-dedup rework changed the
+    # four stream query bodies, the corpus-scalar memo changed
+    # q_text_bm25 / q_text_tfidf / q_lm_commonness, and q_dedup_near's
+    # body carries the shared-cap line.
+    "q_dedup_simhash",
+    "q_dedup_simhash8",
 )
 # NOTE: tier 2 is additionally fed by _changed_since_checked() below
 # (VERDICT r6 item 2) — queries whose implementing code changed in a

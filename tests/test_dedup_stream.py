@@ -400,6 +400,50 @@ def test_index_reads_bucket_pruned_and_output_invariant(
         assert touched <= total
 
 
+def test_curation_probe_bucket_pruned_and_output_invariant(
+    spark, tmp_path
+):
+    """The admitted-fp state's left_anti probe under the forced-open
+    adaptive gate: identical ledger to the full-scan plan, and the
+    one-fp epochs read a small fraction of the 200-fp state's bytes
+    (VERDICT r12 item 6's read-side done-criterion)."""
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+    from confluent_example_firehose_spark.registry import query_fns
+
+    rows = [
+        (
+            4 * i,
+            f"the w{i}a a w{i}b the w{i}c a w{i}d the w{i}e w{i}f",
+        )
+        for i in range(200)
+    ] + [
+        (k, f"the x{k}a a x{k}b the x{k}c a x{k}d the x{k}e x{k}f")
+        for k in (1, 2, 3)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fn = query_fns()["q_curation_stream"]
+    full = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+    assert full[0][4] > 0, "epoch 0 admits quality-passing docs"
+    old = m.PRUNE_MIN_STATE_BYTES
+    m.PRUNE_MIN_STATE_BYTES = 0
+    try:
+        pruned = sorted(
+            tuple(r) for r in fn(spark, str(tmp_path)).collect()
+        )
+        reads = list(m.LAST_READ_BYTES["q_curation_stream_admitted_read"])
+    finally:
+        m.PRUNE_MIN_STATE_BYTES = old
+    assert pruned == full
+    assert len(reads) == SK_BATCHES - 1  # every epoch with state
+    for touched, total in reads:
+        assert 0 < touched < total / 4, (
+            f"one-fp epoch read {touched} of {total} admitted-state "
+            "bytes — the probe scan is not bucket-pruned"
+        )
+
+
 def test_ingest_stream_ledger_laws(spark, sf_dir, fns):
     """Capstone ledger partition + cross-operator admission law: every
     arrival appears exactly once with a consistent status; per-batch

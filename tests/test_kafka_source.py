@@ -1,7 +1,7 @@
 """Kafka source parity tests (VERDICT r1 item 2).
 
 No kafka-clients jar or broker exists in this container (re-probed r6
-2026-08-14, r7/r8/r9/r10 2026-08-15, r11/r12 2026-08-16: no spark-sql-kafka/kafka-clients
+2026-08-14, r7/r8/r9/r10 2026-08-15, r11/r12/r13 2026-08-16: no spark-sql-kafka/kafka-clients
 jar anywhere on the filesystem, no ~/.ivy2 or ~/.m2 cache to bundle
 from, and Maven Central does not resolve — an offline jar bundle is not
 constructible here), so the source is pinned two ways:

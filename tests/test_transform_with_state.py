@@ -7,7 +7,7 @@ the closer twin of the reference's Caffeine expireAfterAccess cache,
 AbstractPrometheusFirehose.java:20-30). That API's state protocol
 speaks protobuf from the Python side, and this container has no
 google.protobuf (and installs are disallowed) — probed r4, re-probed
-r7/r8/r9/r10 (2026-08-15), r11/r12 (2026-08-16): still no google module —
+r7/r8/r9/r10 (2026-08-15), r11/r12/r13 (2026-08-16): still no google module —
 original trace r4:
 StreamingPythonRunnerInitializationException wrapping "ImportError:
 cannot import name 'descriptor' from 'google.protobuf'".

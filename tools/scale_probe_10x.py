@@ -225,9 +225,18 @@ def main() -> None:
         if dsq.LAST_REWRITE_BYTES:
             print(
                 f"\nselective-rewrite bytes per epoch after the "
-                f"{COPIES}x leg (VERDICT r11 item 2 meter):"
+                f"{COPIES}x leg (VERDICT r11 item 2 meter; keys are "
+                "query-prefixed):"
             )
             for k, v in sorted(dsq.LAST_REWRITE_BYTES.items()):
+                print(f"  {k}: {v}")
+        if dsq.LAST_READ_BYTES:
+            print(
+                f"\npruned-read (touched, total) bytes per epoch after "
+                f"the {COPIES}x leg (VERDICT r12 item 1 meter; "
+                "(t, t) rows = full scan below the adaptive gate):"
+            )
+            for k, v in sorted(dsq.LAST_READ_BYTES.items()):
                 print(f"  {k}: {v}")
 
 
