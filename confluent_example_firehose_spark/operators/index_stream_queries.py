@@ -117,9 +117,13 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     full doc-length relation was re-aggregated every epoch, O(corpus)
     maintenance where this is O(batch)+O(1)), and each posting row
     carries its doc's length, so the serve path reads the postings
-    state filtered to the query terms (predicate-pushed parquet read —
-    at 100 TB the state would be term-bucketed so the read touches
-    |query| buckets), joins the tiny df aggregate and the one-row
+    state filtered to the query terms. Since r13 the postings relation
+    IS term-bucketed (pb = hash(term) % ROOT_PB partitions, the
+    dedup-index layout): the serve scan prunes to the query terms'
+    buckets — computed ONCE per run from the constant BM25_QUERY, so
+    unlike the dedup probes this pruning costs no per-epoch job — and
+    per-epoch serve read bytes are metered in LAST_READ_BYTES. The
+    scan then joins the tiny df aggregate and the one-row
     stats, and TakeOrdereds IX_TOP rows — no doc-length join against a
     corpus-sized relation anywhere. avgdl = sum_dl/n_docs is
     bit-identical to the oracle's avg(dl): integer-valued lengths sum
@@ -141,6 +145,26 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
         postings = os.path.join(root, "postings")
         stats_path = os.path.join(root, "stats")
+        from .dedup_stream_queries import (
+            LAST_READ_BYTES,
+            _clear_meters,
+            _meter_read,
+            _pb,
+        )
+
+        _clear_meters("q_index_stream")
+        # The serve predicate's term buckets — BM25_QUERY is a run
+        # constant, so ONE tiny job resolves the partition list for
+        # every epoch's pruned read.
+        qpbs = sorted(
+            r["pb"]
+            for r in spark.createDataFrame(
+                [(t,) for t in BM25_QUERY], "term string"
+            )
+            .select(_pb(F.col("term")).alias("pb"))
+            .distinct()
+            .collect()
+        )
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -169,7 +193,9 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("toks").cast("double").alias("dl"),
             ).groupBy("doc_id", "term", "dl").agg(
                 F.count("*").cast("double").alias("tf")
-            ).write.mode("append").parquet(postings)
+            ).withColumn("pb", _pb(F.col("term"))).repartition(
+                "pb"
+            ).write.partitionBy("pb").mode("append").parquet(postings)
             # Running (n_docs, sum_dl): O(batch) aggregate + O(1) merge
             # into the one-row stats state, instead of re-aggregating
             # the full doc-length relation every epoch.
@@ -199,8 +225,9 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_docs").cast("double")
                 ).alias("avgdl"),
             )
+            _meter_read(postings, qpbs, "q_index_stream_postings")
             tf = s.read.parquet(postings).filter(
-                F.col("term").isin(*BM25_QUERY)
+                F.col("pb").isin(qpbs) & F.col("term").isin(*BM25_QUERY)
             )
             df_ = tf.groupBy("term").agg(
                 F.count("*").cast("double").alias("df")
