@@ -1123,9 +1123,10 @@ def _cluster_epoch(
     assignments (doc_id, cluster_id) as a LAZY output-sized frame the
     caller must sink within the epoch (its lineage reads this epoch's
     committed state version, which survives exactly one more epoch),
-    plus the internal persists to release after that sink — the r13
-    shape of VERDICT r12 items 2-3: no driver collect here, and the
-    caller's ledger append is the single materializing action.
+    plus the internal persists the caller must unpersist after that
+    sink — the r13 shape of VERDICT r12 items 2-3: no driver collect
+    here, and the caller's ledger append is the single materializing
+    action.
 
     State (both versioned + pb-bucketed, selectively rewritten):
       roots: (cfp, rep_id, root, pb) — one row per distinct CONTENT
