@@ -954,12 +954,20 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Versioned bucket-partitioned state with SELECTIVE rewrite
 # ---------------------------------------------------------------------------
 
-# Bucket count for the pb (partition-bucket) column of selectively
-# rewritten state relations. Demo-sized here so the 4-epoch window can
-# still demonstrate partition selectivity; a 100 TB deployment sizes it
-# so a typical epoch's touched classes hit a small fraction of buckets
-# (thousands of buckets over billions of classes).
-ROOT_PB = 32
+# Bucket count for the pb (partition-bucket) column of every bucketed
+# state relation (the five index relations, roots/comp, admitted fps).
+# Demo-sized by default so the 4-epoch window can still demonstrate
+# partition selectivity; a 100 TB deployment sizes it so a typical
+# epoch's touched keys hit a small fraction of buckets (thousands of
+# buckets over billions of classes) — SPARK_GRAFT_ROOT_PB is the
+# deploy-time knob (read once at import). The value must stay CONSTANT
+# for the lifetime of a state relation: pb is a pure function of the
+# probe key and the bucket count, so changing it across epochs of one
+# run would route probes to the wrong partitions. Every registered
+# query builds its state in a per-run temp root, so a per-process env
+# setting is always safe; tools/ingest_footprint_probe.py raises it to
+# measure pruning at a realistic state-to-batch ratio.
+ROOT_PB = int(os.environ.get("SPARK_GRAFT_ROOT_PB", "32"))
 
 # Per-epoch bytes physically written by each selective state rewrite of
 # the last cluster/ingest/curation run, keyed f"{query}_{relation}"
