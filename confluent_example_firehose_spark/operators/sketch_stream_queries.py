@@ -160,9 +160,14 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, so merging the stored rows early is output-invariant;
     r10, completing the q_cms_stream pattern so the physical relation
     matches this bound, not just the merged view). The exact-audit
-    relation is the naive distinct-union twin the sketch REPLACES at
-    100 TB — it exists so the law is checkable at test scale, and the
-    docstring's 5% envelope is what you'd monitor instead.
+    relation is the naive cardinality-sized twin the sketch REPLACES
+    at 100 TB — it exists so the law is checkable at test scale, and
+    the 5% envelope is what you'd monitor instead. Since r13 even the
+    audit follows the family's state discipline: it holds GLOBALLY
+    distinct ids (left_anti append of first-seen ids only), the exact
+    count is an incremental driver-side running sum of per-epoch
+    first-seen counts (the q_curation_stream pattern), and no per-epoch
+    job re-distincts or exact-counts the whole prefix.
 
     Envelope caveat (ADVICE r9 item 2): Spark's default HLL
     (lgConfigK=12) has ~1.6% relative standard error, so the 5% bound
@@ -193,6 +198,7 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stage)
         )
         log: list[tuple[int, int, bool, bool]] = []
+        n_seen = [0]  # running exact distinct count (driver-side sum)
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
             s = batch_df.sparkSession
@@ -213,9 +219,30 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("sk").isNotNull()),
                 state,
             )
-            batch_df.select("user_id").distinct().write.mode(
-                "append"
-            ).parquet(audit)
+            # Audit state holds GLOBALLY distinct ids (left_anti
+            # append of first-seen ids only — the ingest-index
+            # admission pattern), so the exact prefix cardinality is
+            # an incremental driver-side running sum of per-epoch
+            # first-seen counts (the q_curation_stream pattern) and
+            # the direct sketch below aggregates the state as-is: no
+            # per-epoch re-distinct of the whole prefix, no
+            # prefix-sized countDistinct job.
+            new_ids = batch_df.select("user_id").distinct()
+            if os.path.isdir(audit):
+                new_ids = new_ids.join(
+                    s.read.parquet(audit), "user_id", "left_anti"
+                )
+            # EAGER localCheckpoint, not persist: new_ids' lineage
+            # READS the audit relation, and the append below
+            # invalidates every cached plan over that path
+            # (recacheByPath) — a persisted frame would silently
+            # recompute its left_anti against the post-append state
+            # and count ZERO new ids (the r13 invalidation-cascade
+            # lesson, here as a correctness hazard, not just perf).
+            new_ids = new_ids.localCheckpoint(eager=True)
+            n_seen[0] += new_ids.count()
+            new_ids.write.mode("append").parquet(audit)
+            n_exact = n_seen[0]
             est_merged = (
                 s.read.parquet(state)
                 .agg(
@@ -226,17 +253,18 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .first()["e"]
                 or 0
             )
-            seen = s.read.parquet(audit).distinct()
-            row = seen.agg(
-                F.countDistinct("user_id").alias("n"),
-                F.coalesce(
-                    F.hll_sketch_estimate(
-                        F.hll_sketch_agg("user_id")
-                    ),
-                    F.lit(0),
-                ).alias("e"),
-            ).first()
-            n_exact, est_direct = row["n"], row["e"]
+            est_direct = (
+                s.read.parquet(audit)
+                .agg(
+                    F.coalesce(
+                        F.hll_sketch_estimate(
+                            F.hll_sketch_agg("user_id")
+                        ),
+                        F.lit(0),
+                    ).alias("e")
+                )
+                .first()["e"]
+            )
             log.append(
                 (
                     len(log),
