@@ -213,14 +213,22 @@ def _pruned_scan(
     buckets the epoch's probe keys hash into — `buckets` is a list or
     a zero-arg callable resolving to one (_lazy_pbs, so the bucket
     round-trip runs only when a scan actually prunes) — and the scan
-    carries a partition-pruning isin predicate: per-epoch read cost
-    scales with TOUCHED buckets, while the b_id < b tag keeps this
-    epoch's own appends invisible (the r11 refreshByPath discipline,
-    unchanged). Relations physically below PRUNE_MIN_STATE_BYTES scan
-    in full instead (see the constant — the predicate is redundant
-    with the equi-joins, so this is a pure plan choice). An empty
-    bucket list short-circuits to an always-false predicate (isin()
-    with zero values is invalid SQL)."""
+    is planned over ONLY the touched bucket directories (explicit
+    pb=K paths under a basePath, so the pb partition column survives):
+    per-epoch read cost — including the file LISTING, which on a
+    many-bucket relation over object storage is itself a per-epoch
+    cost proportional to total bucket count — scales with TOUCHED
+    buckets, while the b_id < b tag keeps this epoch's own appends
+    invisible (the r11 refreshByPath discipline, unchanged). Measured
+    r13 on a 2048-bucket state: partition discovery of the full
+    relation cost 4-5 s per read (a distributed listing job) against
+    ~1 s of actual scan — an isin partition filter over a full-dir
+    read pruned the scan but still paid the full listing; the
+    touched-dirs plan pays neither. Relations physically below
+    PRUNE_MIN_STATE_BYTES scan in full instead (see the constant —
+    the bucket restriction is redundant with the equi-joins, so this
+    is a pure plan choice). An empty touched list short-circuits to
+    an empty frame read through the full-dir schema."""
     total = _dir_bytes(path)
     if total < PRUNE_MIN_STATE_BYTES:
         if meter_key is not None:
@@ -229,11 +237,15 @@ def _pruned_scan(
             )
         return s.read.parquet(path).filter(F.col("b_id") < b)
     pbs = buckets() if callable(buckets) else buckets
+    pbs = [k for k in pbs if os.path.isdir(os.path.join(path, f"pb={k}"))]
     if meter_key is not None:
         _meter_read(path, pbs, meter_key)
-    df = s.read.parquet(path)
-    pred = F.col("pb").isin(pbs) if pbs else F.lit(False)
-    return df.filter(pred & (F.col("b_id") < b))
+    if not pbs:
+        return s.read.parquet(path).filter(F.lit(False))
+    df = s.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"pb={k}") for k in pbs]
+    )
+    return df.filter(F.col("b_id") < b)
 
 
 def _distinct_pbs(df: DataFrame, col) -> list[int]:
@@ -892,13 +904,26 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).append((total, total))
                     probe = st
                 else:
-                    pbs = _distinct_pbs(fps, F.col("pb"))
+                    pbs = [
+                        k
+                        for k in _distinct_pbs(fps, F.col("pb"))
+                        if os.path.isdir(os.path.join(vdir, f"pb={k}"))
+                    ]
                     _meter_read(
                         vdir, pbs, "q_curation_stream_admitted_read"
                     )
-                    probe = st.filter(
-                        F.col("pb").isin(pbs) if pbs else F.lit(False)
-                    )
+                    # Touched-dirs plan (see _pruned_scan): the file
+                    # LISTING, not just the scan, must scale with the
+                    # batch's buckets.
+                    if pbs:
+                        probe = s.read.option("basePath", vdir).parquet(
+                            *[
+                                os.path.join(vdir, f"pb={k}")
+                                for k in pbs
+                            ]
+                        )
+                    else:
+                        probe = st.filter(F.lit(False))
                 new = fps.join(
                     probe.select("fp"), "fp", "left_anti"
                 )
@@ -1076,8 +1101,23 @@ def selective_state_rewrite(
     cur_dir = os.path.join(root, f"v{v}")
     new_dir = os.path.join(root, f"v{v + 1}")
     tmp = new_dir + ".tmp"
-    cur = s.read.parquet(cur_dir)
-    keep = cur.filter(F.col("pb").isin(affected)).join(
+    # Touched-dirs plan (see _pruned_scan): read ONLY the affected
+    # bucket directories — the rewrite's read cost, listing included,
+    # scales with touched buckets. An affected bucket may be brand-new
+    # (no current dir): plan over the live subset, or an empty frame
+    # through the full-dir schema when every touched bucket is new.
+    live = [
+        k
+        for k in affected
+        if os.path.isdir(os.path.join(cur_dir, f"pb={k}"))
+    ]
+    if live:
+        cur = s.read.option("basePath", cur_dir).parquet(
+            *[os.path.join(cur_dir, f"pb={k}") for k in live]
+        )
+    else:
+        cur = s.read.parquet(cur_dir).filter(F.lit(False))
+    keep = cur.join(
         changed.select(*key_cols).distinct(), list(key_cols), "left_anti"
     )
     keep.unionByName(upserts.select(*keep.columns)).repartition(

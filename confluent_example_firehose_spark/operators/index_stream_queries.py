@@ -225,10 +225,32 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_docs").cast("double")
                 ).alias("avgdl"),
             )
-            _meter_read(postings, qpbs, "q_index_stream_postings")
-            tf = s.read.parquet(postings).filter(
-                F.col("pb").isin(qpbs) & F.col("term").isin(*BM25_QUERY)
-            )
+            # Touched-dirs plan (see _pruned_scan): the serve read is
+            # planned over only the query terms' bucket DIRECTORIES,
+            # so the per-epoch file listing — not just the scan —
+            # scales with the query's buckets, never the posting
+            # corpus. A query bucket may not physically exist yet
+            # (no prefix doc contained its terms): plan over the live
+            # subset, or an empty frame through the full-dir schema.
+            live = [
+                k
+                for k in qpbs
+                if os.path.isdir(os.path.join(postings, f"pb={k}"))
+            ]
+            _meter_read(postings, live, "q_index_stream_postings")
+            if live:
+                tf = (
+                    s.read.option("basePath", postings)
+                    .parquet(
+                        *[
+                            os.path.join(postings, f"pb={k}")
+                            for k in live
+                        ]
+                    )
+                    .filter(F.col("term").isin(*BM25_QUERY))
+                )
+            else:
+                tf = s.read.parquet(postings).filter(F.lit(False))
             df_ = tf.groupBy("term").agg(
                 F.count("*").cast("double").alias("df")
             )
