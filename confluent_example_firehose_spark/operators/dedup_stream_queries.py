@@ -171,7 +171,7 @@ def _clear_meters(prefix: str) -> None:
     """Reset THIS query's entries in the two per-epoch meters (keys are
     query-prefixed — ADVICE r12 item 5 — so one query starting never
     wipes another's record from the same session)."""
-    for d in (LAST_REWRITE_BYTES, LAST_READ_BYTES):
+    for d in (LAST_REWRITE_BYTES, LAST_READ_BYTES, LAST_COMPACT_BYTES):
         for k in [k for k in d if k.startswith(prefix)]:
             del d[k]
 
@@ -199,6 +199,92 @@ def _pb_append(df: DataFrame, path: str) -> None:
     df.repartition("pb").write.partitionBy("pb").mode("append").parquet(
         path
     )
+
+
+# A bucket dir of an append-only state relation accrues one part file
+# per TOUCHED epoch (_pb_append's one-file discipline), so over a long
+# ingest its file count — and with it both the listing and the open
+# cost of every later probe, the dominant per-read cost the r13
+# touched-dirs plan attacks — grows linearly with touched epochs.
+# _compact_buckets bounds it: any bucket reaching this many part files
+# is rewritten into one. Amortization: a bucket is rewritten at most
+# once per INDEX_COMPACT_FILES touches, so compaction write
+# amplification is <= 1/INDEX_COMPACT_FILES of the bucket's size per
+# touch — the bin-packing trade every table format (Iceberg/Delta
+# compaction) makes. Tests force it to 2 to pin the bound + output
+# invariance; at the 4-epoch demo SFs the default never triggers.
+INDEX_COMPACT_FILES = 8
+
+# Per-epoch bytes rewritten by _compact_buckets, keyed
+# f"{query}_{relation}" — the meters-family record (cleared
+# prefix-scoped by _clear_meters alongside the read/rewrite meters).
+LAST_COMPACT_BYTES: dict[str, list[int]] = {}
+
+
+def _compact_buckets(
+    s: SparkSession,
+    path: str,
+    pbs: list[int] | None,
+    meter_key: str | None = None,
+) -> int:
+    """Rewrite every bucket dir holding >= INDEX_COMPACT_FILES part
+    files into a single file, in ONE Spark job for all of them
+    (basePath read of just those dirs -> cluster by pb -> sibling-tmp
+    write -> per-bucket dir swap). Content-identity: the b_id epoch
+    tag is an ordinary column inside the files, so every reader's
+    b_id < b semantics survive compaction unchanged. `pbs` limits the
+    sweep to the epoch's touched buckets — the only ones whose counts
+    grew — when the caller has them resolved (the pruning path);
+    None sweeps every bucket dir (the small-state path, where the
+    listdir sweep is as cheap as everything else). Same crash window
+    as compact_state: a failure between the two renames of one bucket
+    leaves its .old sibling to restore manually; the write itself is
+    fully materialized before anything moves."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return 0
+    if pbs is None:
+        cand = [
+            int(e[3:]) for e in os.listdir(path) if e.startswith("pb=")
+        ]
+    else:
+        cand = pbs
+    full = []
+    for k in cand:
+        d = os.path.join(path, f"pb={k}")
+        if not os.path.isdir(d):
+            continue
+        n = sum(1 for fn in os.listdir(d) if fn.startswith("part-"))
+        if n >= INDEX_COMPACT_FILES:
+            full.append(k)
+    if not full:
+        if meter_key is not None:
+            LAST_COMPACT_BYTES.setdefault(meter_key, []).append(0)
+        return 0
+    tmp = path + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        s.read.option("basePath", path)
+        .parquet(*[os.path.join(path, f"pb={k}") for k in full])
+        .repartition("pb")
+        .write.partitionBy("pb")
+        .parquet(tmp)
+    )
+    written = _dir_bytes(tmp)
+    for k in full:
+        src = os.path.join(tmp, f"pb={k}")
+        dst = os.path.join(path, f"pb={k}")
+        if not os.path.isdir(src):
+            continue
+        old = dst + ".old"
+        os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if meter_key is not None:
+        LAST_COMPACT_BYTES.setdefault(meter_key, []).append(written)
+    return written
 
 
 def _pruned_scan(
@@ -496,6 +582,28 @@ def _index_epoch(
         ),
         ip["class_pairs"],
     )
+    # Bound per-bucket file counts (every touched bucket just gained
+    # one file): compact any bucket at INDEX_COMPACT_FILES parts.
+    # Above the prune gate the sweep is limited to the epoch's
+    # touched buckets — batch cfp buckets for the cfp-keyed relations
+    # (new-class cfps are a subset), band buckets for bands, and the
+    # pair frame's own cfp buckets for class_pairs (its appended rows
+    # carry OLD-side cfps outside the batch) — resolved from frames
+    # already materialized this epoch; below it the full-dir listdir
+    # sweep is the cheap path, same stance as _pruned_scan.
+    for rel, key_pbs in (
+        ("members", batch_pbs),
+        ("classes", batch_pbs),
+        ("shingles", batch_pbs),
+        ("bands", band_pbs),
+        ("class_pairs", _lazy_pbs(cp_new, _pb(F.col("cfp")))),
+    ):
+        pbs = (
+            key_pbs()
+            if _dir_bytes(ip[rel]) >= PRUNE_MIN_STATE_BYTES
+            else None
+        )
+        _compact_buckets(s, ip[rel], pbs, f"{meter}_{rel}_compact")
     return (
         members_b,
         new_cls,

@@ -547,3 +547,97 @@ def test_class_pair_survives_for_late_members(spark, tmp_path):
     # THE pin: the late member's cross-class emission, which requires
     # the (B, A) class pair to have survived in cp_state
     assert (6, 0) in out and out[(6, 0)] == out[(5, 0)]
+
+
+def test_bucket_compaction_bounds_files_and_is_output_invariant(
+    spark, tmp_path
+):
+    """_compact_buckets' two laws, pinned with the threshold forced to
+    2 (a bucket is rewritten the moment it holds 2 part files):
+    (a) after every epoch each members bucket dir holds exactly ONE
+    part file even though the same content buckets are touched every
+    epoch (duplicate arrivals re-touch their class's bucket), where
+    the no-compaction twin accrues one file per touched epoch; and
+    (b) the per-epoch verified pair sets and the final state relation
+    ROW SETS are identical between the two runs — compaction is a
+    content-identity physical rewrite (the b_id tag is an ordinary
+    column and survives). The prune gate is forced open so the
+    touched-bucket (resolved-pbs) sweep path runs, not just the
+    small-state listdir sweep."""
+    import os
+
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+    from pyspark.sql import functions as F
+
+    base = [
+        f"c{i}a c{i}b c{i}c c{i}d c{i}e" for i in range(8)
+    ]  # 8 distinct contents, re-arriving EVERY epoch under new ids
+
+    def run(root):
+        ip = m._index_paths(str(root))
+        pair_sets = []
+        for b in range(4):
+            rows = [(100 * b + i, base[i]) for i in range(8)]
+            # one brand-new near-dup of content 0 per epoch keeps the
+            # candidate/verify path (and class_pairs appends) live
+            rows.append((100 * b + 50, base[0] + f" extra{b}"))
+            flt = spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).select("doc_id", "text", F.md5("text").alias("cfp"))
+            mb, nc, cp, extra, _ = m._index_epoch(
+                spark, b, flt, ip, "t_compact"
+            )
+            pair_sets.append(
+                {
+                    (r["cfp"], r["other"], round(r["jac"], 6))
+                    for r in cp.collect()
+                }
+            )
+            for c in (mb, *extra):
+                c.unpersist()
+        state = {
+            rel: sorted(
+                tuple(r)
+                for r in spark.read.parquet(ip[rel]).collect()
+            )
+            for rel in ip
+            if m._has_state(ip[rel])
+        }
+        counts = {}
+        for rel in ip:
+            if not m._has_state(ip[rel]):
+                continue
+            counts[rel] = max(
+                sum(
+                    1
+                    for fn in os.listdir(os.path.join(ip[rel], e))
+                    if fn.startswith("part-")
+                )
+                for e in os.listdir(ip[rel])
+                if e.startswith("pb=")
+            )
+        return pair_sets, state, counts
+
+    old_gate, old_files = m.PRUNE_MIN_STATE_BYTES, m.INDEX_COMPACT_FILES
+    m.PRUNE_MIN_STATE_BYTES = 0
+    try:
+        m.INDEX_COMPACT_FILES = 2
+        pairs_c, state_c, counts_c = run(tmp_path / "compacted")
+        m.INDEX_COMPACT_FILES = 10**9
+        pairs_n, state_n, counts_n = run(tmp_path / "plain")
+    finally:
+        m.PRUNE_MIN_STATE_BYTES = old_gate
+        m.INDEX_COMPACT_FILES = old_files
+    assert pairs_c == pairs_n and pairs_c[1], (
+        "compaction changed the emitted pair sets"
+    )
+    assert state_c == state_n, (
+        "compaction changed a state relation's row set"
+    )
+    # members buckets are touched all 4 epochs: the twin accrues files,
+    # the compacted run holds the bound (2-file trigger leaves 1).
+    assert counts_n["members"] >= 3
+    assert counts_c["members"] == 1, (
+        f"members bucket holds {counts_c['members']} part files — "
+        "compaction did not bound the per-bucket file count"
+    )
