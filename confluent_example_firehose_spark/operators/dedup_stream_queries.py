@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1971,6 +1972,283 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, ip, roots_root, comp_root
                 ).collect()
             )
+        out = _ledger_result(spark, ledger, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _semantic_stream_oracle():
+    """Centroid-literal oracle for q_dedup_semantic_stream: centroids
+    train on the FIRST shard only (vec_id % SK_BATCHES == 0, the
+    q_ann_index_stream bootstrap), k from the first shard's count via
+    _sem_k — replayed here exactly as the Spark side derives them —
+    then the strictly-earlier-epoch SemDeDup rule in SQL: a new
+    vector is a duplicate iff some same-cluster vector from an
+    EARLIER vec_id-residue epoch has cosine >= SEM_TAU, keyed to its
+    smallest qualifying earlier neighbor."""
+    import os
+
+    import numpy as np
+
+    from .index_stream_queries import IVF_STREAM_SAMPLE
+    from .similarity_queries import SEM_TAU, _ivf_train, _sem_k
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % {SK_BATCHES} = 0 "
+            f"ORDER BY vec_id LIMIT {IVF_STREAM_SAMPLE}"
+        ).fetchall()
+        n_shard = con.execute(
+            f"SELECT count(*) FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % {SK_BATCHES} = 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample, k=_sem_k(n_shard))
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, vec_id % {SK_BATCHES} AS b_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.b_id, e.v, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, b_id, v, cluster_id FROM (
+            SELECT vec_id, b_id, v, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT n.b_id AS batch_id, n.vec_id,
+               o.vec_id AS o_id,
+               list_cosine_similarity(n.v, o.v) AS cos
+        FROM assigned n JOIN assigned o
+          ON o.cluster_id = n.cluster_id AND o.b_id < n.b_id
+        WHERE list_cosine_similarity(n.v, o.v) >= {SEM_TAU}
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, vec_id,
+           CAST(min(o_id) AS BIGINT) AS kept_by,
+           arg_min(cos, o_id) AS cos
+    FROM dup GROUP BY batch_id, vec_id
+    """
+
+
+@register("q_dedup_semantic_stream", oracle=_semantic_stream_oracle)
+def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at ingest — the VECTOR twin of q_dedup_near_stream,
+    completing the streaming dedup family across both similarity
+    modalities (lexical MinHash-LSH there, embedding-cosine here; cf.
+    SemDeDup, Abbas et al. 2023, and the reference's keyed first-seen
+    state, AbstractPrometheusFirehose.java:41-51, generalized from
+    exact keys to near-identical embeddings): embeddings arrive as
+    SK_BATCHES micro-batches (vec_id % SK_BATCHES); each foreachBatch
+    epoch assigns ITS batch to k-means clusters (centroids trained
+    ONCE on the first shard's leading IVF_STREAM_SAMPLE vectors — at
+    ingest time the training sample is the first shard, the
+    q_ann_index_stream bootstrap; k via _sem_k so cluster sizes stay
+    ~SEM_CLUSTER_TARGET and the pairwise expansion stays linear),
+    probes the maintained cluster-keyed vector state for EARLIER
+    same-cluster arrivals with cosine >= SEM_TAU, emits each
+    duplicate keyed to its smallest qualifying earlier neighbor, and
+    appends its own vectors to the state. Returns (batch_id, vec_id,
+    kept_by, cos). Within-batch duplicates are intentionally not
+    emitted (both vectors are new — the q_dedup_near_stream stance),
+    so the output is a pure function of the batch partition.
+
+    The whole r13 state discipline applies to the ONE state relation
+    (cluster_id, vec_id, v, b_id): pb-bucket-partitioned on
+    hash(cluster_id) and appended bucket-clustered (_pb_append), the
+    per-epoch probe planned over only the batch's cluster-bucket
+    DIRECTORIES behind the adaptive gate (_pruned_scan — at 100 TB a
+    small batch touches few of thousands of buckets, so read cost,
+    listing included, scales with the batch's cluster footprint, not
+    the corpus), per-bucket file counts bounded by _compact_buckets,
+    the per-epoch emission appended to a parquet LEDGER the query
+    returns a read of, and touched-vs-total read bytes metered in
+    LAST_READ_BYTES. Hash-checked law: cluster membership is a
+    deterministic function of the trained centroids (repr-exact
+    literals in the oracle, bit-identical sequential distance fold),
+    cosine is the bit-identical aggregate fold, and state union is
+    associative — so each epoch's emission is a pure function of the
+    ingested prefix, replayed exactly by the oracle's strictly-
+    earlier-epoch SQL."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vector import cosine, to_double_array
+    from .index_stream_queries import IVF_STREAM_SAMPLE
+    from .similarity_queries import SEM_TAU, _ivf_train, _sem_k
+
+    _clear_meters("q_dedup_semantic_stream")
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("kept_by", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    shard0 = e.filter(F.col("vec_id") % SK_BATCHES == 0)
+    n_shard = shard0.count()
+    sample = np.array(
+        [
+            r["v"]
+            for r in shard0.orderBy("vec_id")
+            .limit(IVF_STREAM_SAMPLE)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        return spark.createDataFrame([], schema)
+    cents = _ivf_train(sample, k=_sem_k(n_shard))
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        # Inlined dim-sequential fold (worker self-containment; bit-
+        # identical to the oracle's list_reduce).
+        c = cents_b.value
+        x = np.stack(vs.to_numpy())
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    root = tempfile.mkdtemp(prefix="semdedup_stream_")
+    try:
+        stage = stage_key_batches(e, root, SK_BATCHES, key="vec_id")
+        state = os.path.join(root, "vectors")
+        ledger = os.path.join(root, "ledger")
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            b = epoch[0]
+            epoch[0] += 1
+            # EAGER localCheckpoint: the assigned batch feeds the
+            # probe join, the state append, and the touched-bucket
+            # resolution — materializing once keeps the Arrow
+            # assignment UDF single-run and the frame immune to the
+            # append's recacheByPath invalidation.
+            assigned = (
+                batch_df.withColumn(
+                    "cluster_id", nearest_list(F.col("v"))
+                )
+                .withColumn("pb", _pb(F.col("cluster_id")))
+                .localCheckpoint(eager=True)
+            )
+            cl_pbs = _lazy_pbs(assigned, F.col("pb"))
+            if b > 0 and _has_state(state):
+                st = _pruned_scan(
+                    s, state, cl_pbs, b,
+                    "q_dedup_semantic_stream_vectors",
+                )
+                hits = (
+                    assigned.join(
+                        st.select(
+                            "cluster_id",
+                            F.col("vec_id").alias("kept_by"),
+                            F.col("v").alias("ov"),
+                        ),
+                        "cluster_id",
+                    )
+                    .select(
+                        "vec_id",
+                        "kept_by",
+                        cosine(F.col("v"), F.col("ov")).alias("cos"),
+                    )
+                    .filter(F.col("cos") >= SEM_TAU)
+                )
+                hits.groupBy("vec_id").agg(
+                    F.min("kept_by").alias("kept_by"),
+                    F.min_by("cos", "kept_by").alias("cos"),
+                ).select(
+                    F.lit(b).cast("long").alias("batch_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("kept_by").cast("long").alias("kept_by"),
+                    F.col("cos").cast("double").alias("cos"),
+                ).write.mode("append").parquet(ledger)
+            _pb_append(
+                assigned.select(
+                    "cluster_id",
+                    "vec_id",
+                    "v",
+                    F.lit(b).alias("b_id"),
+                    "pb",
+                ),
+                state,
+            )
+            pbs = (
+                cl_pbs()
+                if _dir_bytes(state) >= PRUNE_MIN_STATE_BYTES
+                else None
+            )
+            _compact_buckets(
+                s, state, pbs, "q_dedup_semantic_stream_vectors_compact"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_dedup_semantic_stream_vectors"] = (
+            spark.read.parquet(state).count()
+            if _has_state(state)
+            else 0
+        )
         out = _ledger_result(spark, ledger, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -641,3 +641,47 @@ def test_bucket_compaction_bounds_files_and_is_output_invariant(
         f"members bucket holds {counts_c['members']} part files — "
         "compaction did not bound the per-bucket file count"
     )
+
+
+def test_semantic_stream_keys_to_earliest_same_cluster_neighbor(
+    spark, tmp_path
+):
+    """q_dedup_semantic_stream on a constructed two-blob corpus: 256
+    vectors, blob membership chosen so the first shard (vec_id % 4
+    == 0) trains one centroid per blob (k = _sem_k(64) = 2), each
+    vector a tiny deterministic perturbation of its blob base — so
+    within-blob cosine ~1 >= SEM_TAU and cross-blob ~0. Law: every
+    vector of a later epoch keys to the SMALLEST earlier same-blob
+    vec_id (0 for blob A, 4 for blob B — both land in epoch 0), and
+    epoch-0 vectors emit nothing."""
+    dim = 8
+
+    def blob(i):
+        return 1 if (i % 8) >= 4 else 0
+
+    rows = []
+    for i in range(256):
+        base = [0.0] * dim
+        base[blob(i)] = 1.0
+        v = [
+            base[j] + ((i * 31 + j * 17) % 97) / 9700.0
+            for j in range(dim)
+        ]
+        rows.append((i, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from confluent_example_firehose_spark.registry import query_fns
+
+    out = {
+        (r["vec_id"]): (r["batch_id"], r["kept_by"], r["cos"])
+        for r in query_fns()["q_dedup_semantic_stream"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expected_ids = {i for i in range(256) if i % 4 >= 1}
+    assert set(out) == expected_ids
+    for i, (b, kept_by, cos) in out.items():
+        assert b == i % 4
+        assert kept_by == (0 if blob(i) == 0 else 4)
+        assert cos > 0.9
