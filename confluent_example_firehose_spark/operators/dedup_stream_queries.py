@@ -2088,17 +2088,27 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (both vectors are new — the q_dedup_near_stream stance),
     so the output is a pure function of the batch partition.
 
-    The whole r13 state discipline applies to the ONE state relation
-    (cluster_id, vec_id, v, b_id): pb-bucket-partitioned on
-    hash(cluster_id) and appended bucket-clustered (_pb_append), the
-    per-epoch probe planned over only the batch's cluster-bucket
-    DIRECTORIES behind the adaptive gate (_pruned_scan — at 100 TB a
-    small batch touches few of thousands of buckets, so read cost,
-    listing included, scales with the batch's cluster footprint, not
-    the corpus), per-bucket file counts bounded by _compact_buckets,
-    the per-epoch emission appended to a parquet LEDGER the query
-    returns a read of, and touched-vs-total read bytes metered in
-    LAST_READ_BYTES. Hash-checked law: cluster membership is a
+    The state is CONTRACTED on a vector-value fingerprint — the r11
+    duplicate-mass lesson applied at the vector level: one state row
+    per distinct vector VALUE (cfp, cluster_id, representative v,
+    min member id, b_id), all cosine work class-against-class, member
+    emissions expanded arithmetically afterwards. Exact-duplicate
+    mass costs one representative instead of a quadratic batch x
+    state join (the 100x all-duplicates clone probe measured a 58x
+    wall step before this contraction, ~1x after; class members are
+    bit-identical vectors, so every member pair's cosine equals the
+    class pair's and the output is contraction-invariant). The whole
+    r13 state discipline applies to the ONE class relation:
+    pb-bucket-partitioned on hash(cluster_id) and appended bucket-
+    clustered (_pb_append), the per-epoch probe planned over only the
+    batch's cluster-bucket DIRECTORIES behind the adaptive gate
+    (_pruned_scan — at 100 TB a small batch touches few of thousands
+    of buckets, so read cost, listing included, scales with the
+    batch's cluster footprint, not the corpus), per-bucket file
+    counts bounded by _compact_buckets, the per-epoch emission
+    appended to a parquet LEDGER the query returns a read of, and
+    touched-vs-total read bytes metered in LAST_READ_BYTES.
+    Hash-checked law: cluster membership is a
     deterministic function of the trained centroids (repr-exact
     literals in the oracle, bit-identical sequential distance fold),
     cosine is the bit-identical aggregate fold, and state union is
@@ -2160,7 +2170,7 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="semdedup_stream_")
     try:
         stage = stage_key_batches(e, root, SK_BATCHES, key="vec_id")
-        state = os.path.join(root, "vectors")
+        state = os.path.join(root, "classes")
         ledger = os.path.join(root, "ledger")
         stream = (
             spark.readStream.schema(e.schema)
@@ -2174,42 +2184,75 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = epoch[0]
             epoch[0] += 1
             # EAGER localCheckpoint: the assigned batch feeds the
-            # probe join, the state append, and the touched-bucket
-            # resolution — materializing once keeps the Arrow
+            # class census, the member expansion, and the touched-
+            # bucket resolution — materializing once keeps the Arrow
             # assignment UDF single-run and the frame immune to the
             # append's recacheByPath invalidation.
             assigned = (
                 batch_df.withColumn(
                     "cluster_id", nearest_list(F.col("v"))
                 )
+                .withColumn(
+                    "cfp", F.md5(F.to_json(F.struct(F.col("v"))))
+                )
                 .withColumn("pb", _pb(F.col("cluster_id")))
                 .localCheckpoint(eager=True)
             )
-            cl_pbs = _lazy_pbs(assigned, F.col("pb"))
+            # The r11 contraction at the VECTOR level: one row per
+            # distinct vector VALUE (cfp = md5 of the serialized
+            # array; cluster_id is a pure function of the value, so a
+            # class lives in exactly one cluster). All the epoch's
+            # cosine work runs class-against-class; members expand
+            # arithmetically afterwards. Exact-duplicate mass
+            # therefore costs one representative, never a quadratic
+            # batch x state join (the 100x all-duplicates clone
+            # measured 58x wall before this contraction).
+            bcls = (
+                assigned.groupBy("cfp", "cluster_id", "pb")
+                .agg(
+                    F.min("vec_id").alias("min_id"),
+                    F.min_by("v", "vec_id").alias("v"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cl_pbs = _lazy_pbs(bcls, F.col("pb"))
             if b > 0 and _has_state(state):
                 st = _pruned_scan(
                     s, state, cl_pbs, b,
-                    "q_dedup_semantic_stream_vectors",
+                    "q_dedup_semantic_stream_classes",
                 )
-                hits = (
-                    assigned.join(
-                        st.select(
-                            "cluster_id",
-                            F.col("vec_id").alias("kept_by"),
-                            F.col("v").alias("ov"),
+                # Earlier-class census: min member id over all earlier
+                # epochs (a class re-appearing with a smaller id in a
+                # later epoch updates the min through this aggregate);
+                # the representative vector is value-identical on
+                # every row of a class, so min_by is value-
+                # deterministic.
+                stc = st.groupBy("cluster_id", "cfp").agg(
+                    F.min("min_id").alias("kept_min"),
+                    F.min_by("v", "b_id").alias("ov"),
+                )
+                cdec = (
+                    bcls.select("cfp", "cluster_id", "v")
+                    .join(
+                        stc.select(
+                            "cluster_id", "kept_min", "ov"
                         ),
                         "cluster_id",
                     )
                     .select(
-                        "vec_id",
-                        "kept_by",
+                        "cfp",
+                        "kept_min",
                         cosine(F.col("v"), F.col("ov")).alias("cos"),
                     )
                     .filter(F.col("cos") >= SEM_TAU)
+                    .groupBy("cfp")
+                    .agg(
+                        F.min("kept_min").alias("kept_by"),
+                        F.min_by("cos", "kept_min").alias("cos"),
+                    )
                 )
-                hits.groupBy("vec_id").agg(
-                    F.min("kept_by").alias("kept_by"),
-                    F.min_by("cos", "kept_by").alias("cos"),
+                assigned.select("vec_id", "cfp").join(
+                    cdec, "cfp"
                 ).select(
                     F.lit(b).cast("long").alias("batch_id"),
                     F.col("vec_id").cast("long").alias("vec_id"),
@@ -2217,10 +2260,11 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cos").cast("double").alias("cos"),
                 ).write.mode("append").parquet(ledger)
             _pb_append(
-                assigned.select(
+                bcls.select(
                     "cluster_id",
-                    "vec_id",
+                    "cfp",
                     "v",
+                    "min_id",
                     F.lit(b).alias("b_id"),
                     "pb",
                 ),
@@ -2232,7 +2276,7 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else None
             )
             _compact_buckets(
-                s, state, pbs, "q_dedup_semantic_stream_vectors_compact"
+                s, state, pbs, "q_dedup_semantic_stream_classes_compact"
             )
 
         q = (
@@ -2244,7 +2288,7 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         from .sketch_stream_queries import LAST_STATE_ROWS
 
-        LAST_STATE_ROWS["q_dedup_semantic_stream_vectors"] = (
+        LAST_STATE_ROWS["q_dedup_semantic_stream_classes"] = (
             spark.read.parquet(state).count()
             if _has_state(state)
             else 0

@@ -238,6 +238,14 @@ def main() -> None:
             )
             for k, v in sorted(dsq.LAST_READ_BYTES.items()):
                 print(f"  {k}: {v}")
+        if dsq.LAST_COMPACT_BYTES:
+            print(
+                f"\nbucket-compaction bytes per epoch after the "
+                f"{COPIES}x leg (r13 file-count bound; 0 = no bucket "
+                "reached INDEX_COMPACT_FILES):"
+            )
+            for k, v in sorted(dsq.LAST_COMPACT_BYTES.items()):
+                print(f"  {k}: {v}")
 
 
 if __name__ == "__main__":
