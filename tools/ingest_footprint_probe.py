@@ -63,6 +63,8 @@ COPIES = 50
 TAIL = 128
 NEAR = 16
 ROOT_PB = 2048
+TAIL_EPOCHS = 0
+COMPACT_FILES = 4
 for _a in list(sys.argv[1:]):
     if _a.startswith("--copies="):
         COPIES = int(_a.split("=", 1)[1])
@@ -72,6 +74,15 @@ for _a in list(sys.argv[1:]):
         NEAR = int(_a.split("=", 1)[1])
     elif _a.startswith("--root-pb="):
         ROOT_PB = int(_a.split("=", 1)[1])
+    elif _a.startswith("--tail-epochs="):
+        # After the A/B legs, keep ingesting this many further small
+        # epochs on the pruned state — the steady-state series: state
+        # grows, per-epoch touched bytes and wall should stay
+        # batch-sized, and _compact_buckets (threshold forced to
+        # --compact-files) must hold per-bucket file counts flat.
+        TAIL_EPOCHS = int(_a.split("=", 1)[1])
+    elif _a.startswith("--compact-files="):
+        COMPACT_FILES = int(_a.split("=", 1)[1])
     else:
         sys.exit(f"unknown arg {_a!r}")
 
@@ -212,6 +223,83 @@ def main() -> None:
             f"\nepoch-1 wall: pruned {legs['pruned'][0]:.2f} s, "
             f"full-scan {legs['full'][0]:.2f} s"
         )
+
+        if TAIL_EPOCHS:
+            # Steady-state series on the pruned leg's state: each
+            # further epoch ingests TAIL brand-new diverse docs.
+            # Per-epoch touched bytes and wall must stay batch-sized
+            # while total state grows; the forced compaction
+            # threshold must hold per-bucket file counts flat.
+            import duckdb
+
+            st = os.path.join(root, "state_pruned")
+            ip = dsq._index_paths(st)
+            dsq.PRUNE_MIN_STATE_BYTES = 0
+            dsq.INDEX_COMPACT_FILES = COMPACT_FILES
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW t AS SELECT doc_id, text FROM '{BASE}' "
+                "WHERE text IS NOT NULL"
+            )
+
+            def max_files(rel):
+                path = ip[rel]
+                best = 0
+                for e2 in os.listdir(path):
+                    if not e2.startswith("pb="):
+                        continue
+                    n = sum(
+                        1
+                        for fn in os.listdir(os.path.join(path, e2))
+                        if fn.startswith("part-")
+                    )
+                    best = max(best, n)
+                return best
+
+            print(
+                f"\nsteady-state series ({TAIL_EPOCHS} epochs x "
+                f"{TAIL} new docs, compact-files={COMPACT_FILES}):"
+            )
+            print(
+                "| epoch | wall s | classes touched/total MB "
+                "| compact MB | max files/bucket bands | classes |"
+            )
+            print("|---|---|---|---|---|---|")
+            for j in range(TAIL_EPOCHS):
+                k = COPIES + 2 + j
+                bp = os.path.join(root, f"series_{j}.parquet")
+                con.execute(
+                    f"""
+                    COPY (
+                      SELECT CAST(doc_id AS BIGINT)
+                                 + {k} * 10000000::BIGINT AS doc_id,
+                             regexp_replace(text, '(\\S+)',
+                                            '\\1_k{k}', 'g') AS text
+                      FROM (SELECT * FROM t ORDER BY doc_id
+                            LIMIT {TAIL})
+                    ) TO '{bp}' (FORMAT PARQUET)
+                    """
+                )
+                flt = shingleable(spark.read.parquet(bp))
+                dsq.LAST_READ_BYTES.clear()
+                dsq.LAST_COMPACT_BYTES.clear()
+                wall = run_epoch(spark, 2 + j, flt, ip, "probe_s")
+                cls = dsq.LAST_READ_BYTES.get("probe_s_classes", [])
+                t_mb = sum(t for t, _ in cls) / 1e6
+                tot_mb = sum(t2 for _, t2 in cls) / 1e6
+                comp_mb = (
+                    sum(
+                        sum(v)
+                        for v in dsq.LAST_COMPACT_BYTES.values()
+                    )
+                    / 1e6
+                )
+                print(
+                    f"| {2 + j} | {wall:.1f} | {t_mb:.2f}/{tot_mb:.1f}"
+                    f" | {comp_mb:.1f} | {max_files('bands')}"
+                    f" | {max_files('classes')} |"
+                )
+            con.close()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
