@@ -453,3 +453,183 @@ def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(log, schema)
+
+
+DRIFT_BIN_WORDS = 8  # histogram bin width (words per doc)
+
+
+@register(
+    "q_drift_stream",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id % {SK_BATCHES} AS b,
+               len(list_filter(regexp_split_to_array(lower(text),
+                                                     '[ \\t\\n\\r\\f\\v]+'),
+                               x -> x <> '')) // {DRIFT_BIN_WORDS} AS bin
+        FROM documents WHERE text IS NOT NULL
+    ),
+    census AS (SELECT b, bin, count(*) AS c FROM w GROUP BY 1, 2),
+    later AS (SELECT DISTINCT b FROM census WHERE b > 0),
+    pref AS (
+        SELECT l.b, c.bin, sum(c.c) AS c
+        FROM later l JOIN census c ON c.b < l.b
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT b, sum(c) AS n FROM census GROUP BY b),
+    np AS (SELECT b, sum(c) AS n FROM pref GROUP BY b),
+    joined AS (
+        SELECT coalesce(ba.b, pr.b) AS b,
+               coalesce(ba.c, 0) AS cb, coalesce(pr.c, 0) AS cp
+        FROM (SELECT * FROM census WHERE b > 0) ba
+        FULL OUTER JOIN pref pr ON ba.b = pr.b AND ba.bin = pr.bin
+    )
+    SELECT CAST(j.b AS BIGINT) AS batch_id,
+           CAST(nb.n AS BIGINT) AS n_arrived,
+           round(0.5 * sum(abs(CAST(j.cb AS DOUBLE) / nb.n
+                               - CAST(j.cp AS DOUBLE) / np.n)), 6)
+               AS tv_drift
+    FROM joined j JOIN nb ON nb.b = j.b JOIN np ON np.b = j.b
+    GROUP BY j.b, nb.n, np.n
+    """,
+)
+def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring at ingest — the MONITORING member
+    of the streaming-maintenance family (its siblings maintain dedup /
+    index / curation state; a production training-data pipeline runs a
+    drift monitor beside them to catch a crawl source going bad):
+    each foreachBatch epoch bins ITS batch's per-doc word counts into
+    a fixed-width histogram, computes the total-variation distance
+    between the batch's distribution and the distribution of
+    EVERYTHING ingested before it (the strictly-earlier prefix —
+    tv = 0.5 * sum_bins |p_batch - p_prefix|, the exact statistic
+    behind the 'population stability' checks monitoring stacks run),
+    and then merges its histogram into the state. Returns (batch_id,
+    n_arrived, tv_drift) for every epoch with a prior prefix. A drift
+    alarm is a threshold on tv_drift; this corpus's homogeneous
+    batches sit near 0, a shifted source pushes toward 1.
+
+    Hash-checked law: the histogram census is exact integer counting
+    and histogram merge is associative integer addition, so each
+    epoch's tv is a pure function of the batch PARTITION (the
+    oracle's prefix-cumulative replay); the single float division and
+    the 6-dp-rounded sum agree cross-engine (the repo's standard
+    float-aggregate stance).
+
+    Scale shape: per-epoch work is one batch scan + a map-side-
+    combined BINS-sized census; the drift statistic is a join of two
+    bins-bounded frames and a one-row aggregate; the stored state is
+    COMPACTED per epoch (groupBy-bin sum + rename-swap, the
+    q_quantile_stream pattern) so it is physically bounded by the
+    bin count at ANY corpus size. This is the whole point of
+    histogram-state monitoring at 100 TB: the monitor's cost is the
+    batch scan it shares with the ingest, never the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .dedup import words
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.size(words("text")) / DRIFT_BIN_WORDS)
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="drift_stream_")
+    try:
+        stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
+        state = os.path.join(root, "state")
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, float]] = []
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            b = epoch[0]
+            epoch[0] += 1
+            census = (
+                batch_df.groupBy("bin")
+                .agg(F.count("*").alias("cb"))
+                .localCheckpoint(eager=True)
+            )
+            if os.path.isdir(state):
+                pref = s.read.parquet(state)
+                row = (
+                    census.join(
+                        pref.withColumnRenamed("cnt", "cp"),
+                        "bin",
+                        "full_outer",
+                    )
+                    .select(
+                        F.coalesce("cb", F.lit(0)).alias("cb"),
+                        F.coalesce("cp", F.lit(0)).alias("cp"),
+                    )
+                    .agg(
+                        F.sum("cb").alias("nb"),
+                        F.sum("cp").alias("np"),
+                        # bins-bounded by construction (~tens of rows)
+                        F.collect_list(
+                            F.struct("cb", "cp")
+                        ).alias("rows"),
+                    )
+                    .select(
+                        "nb",
+                        "np",
+                        F.round(
+                            0.5
+                            * F.aggregate(
+                                "rows",
+                                F.lit(0.0),
+                                lambda acc, r: acc
+                                + F.abs(
+                                    r["cb"].cast("double") / F.col("nb")
+                                    - r["cp"].cast("double")
+                                    / F.col("np")
+                                ),
+                            ),
+                            6,
+                        ).alias("tv"),
+                    )
+                    .first()
+                )
+                log.append((b, row["nb"], row["tv"]))
+            census.select(
+                "bin", F.col("cb").alias("cnt")
+            ).write.mode("append").parquet(state)
+            compact_state(
+                s.read.parquet(state)
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt")),
+                state,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        LAST_STATE_ROWS["q_drift_stream"] = (
+            spark.read.parquet(state).count()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_arrived", T.LongType()),
+            T.StructField("tv_drift", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(log, schema)

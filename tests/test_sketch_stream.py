@@ -217,3 +217,32 @@ def test_ann_index_stream_invariants(spark, sf_dir, fns):
     for (b, q), c in sorted(best.items()):
         if (b - 1, q) in best:
             assert c >= best[(b - 1, q)], (b, q, c, best[(b - 1, q)])
+
+
+def test_drift_stream_flags_shifted_source(spark, tmp_path, fns):
+    """q_drift_stream on a constructed corpus: epochs 0-2 draw ~8-word
+    docs, epoch 3 is a shifted source (~40-word docs). Law: the
+    homogeneous epochs' drift vs their prefix is 0 (identical
+    distributions), the shifted epoch's approaches 1 (disjoint length
+    bins), and the stored histogram state stays bins-bounded."""
+    rows = []
+    for i in range(400):
+        n = 40 if i % 4 == 3 else 8
+        rows.append((i, " ".join(f"w{j}" for j in range(n))))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["batch_id"]: (r["n_arrived"], r["tv_drift"])
+        for r in fns["q_drift_stream"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][1] == 0.0 and out[2][1] == 0.0
+    assert out[3][1] == 1.0, (
+        f"shifted source drift {out[3][1]} — expected total variation 1"
+    )
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        LAST_STATE_ROWS,
+    )
+
+    assert LAST_STATE_ROWS["q_drift_stream"] <= 4
