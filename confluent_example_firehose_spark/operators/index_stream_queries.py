@@ -566,3 +566,268 @@ def q_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(log, schema)
+
+
+def _embed_drift_oracle():
+    """Centroid-literal oracle for q_drift_embed_stream: first-shard
+    centroids (the q_ann_index_stream bootstrap, exact same
+    _ivf_train call), assignment by the sequential squared-distance
+    fold, then the per-epoch cluster-occupancy census and the
+    total-variation distance of each later epoch's occupancy
+    distribution against its strictly-earlier prefix's."""
+    import os
+
+    import numpy as np
+
+    from .similarity_queries import _ivf_train
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM '{path}' "
+            f"WHERE len(embedding) > 0 AND vec_id % {SK_BATCHES} = 0 "
+            f"ORDER BY vec_id LIMIT {IVF_STREAM_SAMPLE}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _ivf_train(sample)
+    dim = sample.shape[1]
+    vals = ",\n        ".join(
+        "({}, [{}])".format(
+            k, ", ".join(repr(float(x)) for x in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, vec_id % {SK_BATCHES} AS b,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    c(cluster_id, cv) AS (VALUES
+        {vals}
+    ),
+    d AS (
+        SELECT e.vec_id, e.b, c.cluster_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+                   (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, b, cluster_id FROM (
+            SELECT vec_id, b, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    census AS (
+        SELECT b, cluster_id, count(*) AS c FROM assigned GROUP BY 1, 2
+    ),
+    later AS (SELECT DISTINCT b FROM census WHERE b > 0),
+    pref AS (
+        SELECT l.b, c.cluster_id, sum(c.c) AS c
+        FROM later l JOIN census c ON c.b < l.b
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT b, sum(c) AS n FROM census GROUP BY b),
+    np AS (SELECT b, sum(c) AS n FROM pref GROUP BY b),
+    joined AS (
+        SELECT coalesce(ba.b, pr.b) AS b,
+               coalesce(ba.c, 0) AS cb, coalesce(pr.c, 0) AS cp
+        FROM (SELECT * FROM census WHERE b > 0) ba
+        FULL OUTER JOIN pref pr
+          ON ba.b = pr.b AND ba.cluster_id = pr.cluster_id
+    )
+    SELECT CAST(j.b AS BIGINT) AS batch_id,
+           CAST(nb.n AS BIGINT) AS n_arrived,
+           round(0.5 * sum(abs(CAST(j.cb AS DOUBLE) / nb.n
+                               - CAST(j.cp AS DOUBLE) / np.n)), 6)
+               AS tv_drift
+    FROM joined j JOIN nb ON nb.b = j.b JOIN np ON np.b = j.b
+    GROUP BY j.b, nb.n, np.n
+    """
+
+
+@register("q_drift_embed_stream", oracle=_embed_drift_oracle)
+def q_drift_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitoring at ingest — the VECTOR twin of
+    q_drift_stream, completing monitoring across both modalities the
+    way q_dedup_semantic_stream completes dedup: each foreachBatch
+    epoch assigns ITS batch of embeddings to the fixed k-means
+    centroids (first-shard bootstrap, the q_ann_index_stream recipe —
+    a drift monitor MUST hold its reference frame fixed, which is
+    exactly what the frozen coarse quantizer is), computes the
+    total-variation distance between the batch's cluster-occupancy
+    distribution and the strictly-earlier prefix's, and merges its
+    occupancy census into the state. Returns (batch_id, n_arrived,
+    tv_drift) per epoch with a prior prefix — an embedding source
+    going off-distribution (new language, new modality, encoder
+    regression) shows up as occupancy mass moving between lists even
+    when text-level stats look flat.
+
+    Hash-checked law: assignment is a deterministic function of the
+    repr-exact centroid literals (bit-identical sequential fold),
+    occupancy census is exact integer counting, merge is associative
+    addition — each epoch's tv is a pure function of the batch
+    partition, replayed by the oracle's prefix-cumulative census; the
+    one float division and 6-dp-rounded sum agree cross-engine.
+
+    Scale shape: per-epoch work is one batch scan + a narrow Arrow
+    assignment map + a K-bounded census and merge; stored state is
+    COMPACTED per epoch to <= K rows (the q_quantile_stream pattern).
+    The monitor's cost is the assignment the ingest already pays
+    (q_ann_index_stream maintains its lists from the same map);
+    occupancy state never scales with the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vector import to_double_array
+    from .similarity_queries import _ivf_train
+    from .sketch_stream_queries import compact_state
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    sample = np.array(
+        [
+            r["v"]
+            for r in e.filter(F.col("vec_id") % SK_BATCHES == 0)
+            .orderBy("vec_id")
+            .limit(IVF_STREAM_SAMPLE)
+            .collect()
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("n_arrived", T.LongType()),
+            T.StructField("tv_drift", T.DoubleType()),
+        ]
+    )
+    if sample.size == 0:
+        return spark.createDataFrame([], schema)
+    cents = _ivf_train(sample)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        # Inlined dim-sequential fold (worker self-containment).
+        c = cents_b.value
+        x = np.stack(vs.to_numpy())
+        d2 = np.zeros((x.shape[0], c.shape[0]))
+        for i in range(c.shape[1]):
+            t = x[:, i, None] - c[None, :, i]
+            d2 += t * t
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    root = tempfile.mkdtemp(prefix="embed_drift_stream_")
+    try:
+        stage = stage_key_batches(e, root, SK_BATCHES, key="vec_id")
+        state = os.path.join(root, "state")
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        log: list[tuple[int, int, float]] = []
+        epoch = [0]
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            s = batch_df.sparkSession
+            b = epoch[0]
+            epoch[0] += 1
+            census = (
+                batch_df.select(
+                    nearest_list(F.col("v")).alias("cluster_id")
+                )
+                .groupBy("cluster_id")
+                .agg(F.count("*").alias("cb"))
+                .localCheckpoint(eager=True)
+            )
+            if os.path.isdir(state):
+                row = (
+                    census.join(
+                        s.read.parquet(state).withColumnRenamed(
+                            "cnt", "cp"
+                        ),
+                        "cluster_id",
+                        "full_outer",
+                    )
+                    .select(
+                        F.coalesce("cb", F.lit(0)).alias("cb"),
+                        F.coalesce("cp", F.lit(0)).alias("cp"),
+                    )
+                    .agg(
+                        F.sum("cb").alias("nb"),
+                        F.sum("cp").alias("np"),
+                        # K-bounded by construction
+                        F.collect_list(
+                            F.struct("cb", "cp")
+                        ).alias("rows"),
+                    )
+                    .select(
+                        "nb",
+                        "np",
+                        F.round(
+                            0.5
+                            * F.aggregate(
+                                "rows",
+                                F.lit(0.0),
+                                lambda acc, r: acc
+                                + F.abs(
+                                    r["cb"].cast("double") / F.col("nb")
+                                    - r["cp"].cast("double")
+                                    / F.col("np")
+                                ),
+                            ),
+                            6,
+                        ).alias("tv"),
+                    )
+                    .first()
+                )
+                log.append((b, row["nb"], row["tv"]))
+            census.select(
+                "cluster_id", F.col("cb").alias("cnt")
+            ).write.mode("append").parquet(state)
+            compact_state(
+                s.read.parquet(state)
+                .groupBy("cluster_id")
+                .agg(F.sum("cnt").alias("cnt")),
+                state,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from .sketch_stream_queries import LAST_STATE_ROWS
+
+        LAST_STATE_ROWS["q_drift_embed_stream"] = (
+            spark.read.parquet(state).count()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(log, schema)

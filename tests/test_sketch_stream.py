@@ -246,3 +246,46 @@ def test_drift_stream_flags_shifted_source(spark, tmp_path, fns):
     )
 
     assert LAST_STATE_ROWS["q_drift_stream"] <= 4
+
+
+def test_embed_drift_stream_flags_shifted_source(spark, tmp_path, fns):
+    """q_drift_embed_stream on a constructed corpus: epochs 0-2 carry
+    an IDENTICAL multiset of vectors (two well-separated modes), epoch
+    3 a third far-away mode the frozen centroids never saw. Laws: the
+    homogeneous epochs' occupancy drift vs their prefix is exactly 0;
+    the shifted epoch moves most occupancy mass (tv well above 0);
+    state stays K-bounded."""
+    dim = 8
+    rows = []
+    for i in range(512):
+        g, b = divmod(i, 4)
+        v = [0.0] * dim
+        if b < 3:
+            v[g % 2] = 1.0
+        else:
+            v[2] = 1.0
+        # jitter depends on g ONLY: epochs 0-2 must carry an
+        # IDENTICAL vector multiset for the zero-drift law
+        v[3] = ((g * 13) % 23) / 230.0
+        rows.append((i, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["batch_id"]: r["tv_drift"]
+        for r in fns["q_drift_embed_stream"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == 0.0 and out[2] == 0.0
+    # Deterministically 0.25 on this construction (the unseen mode
+    # lands on one frozen list that already holds 3/4 of the prefix
+    # occupancy): the law is a clear nonzero alarm against the exact
+    # zeros above, not a particular magnitude.
+    assert out[3] >= 0.2, f"shifted embedding source drift {out[3]}"
+    from confluent_example_firehose_spark.operators.sketch_stream_queries import (
+        LAST_STATE_ROWS,
+    )
+
+    assert LAST_STATE_ROWS["q_drift_embed_stream"] <= 16
