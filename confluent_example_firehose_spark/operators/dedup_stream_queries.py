@@ -246,14 +246,34 @@ def _compact_buckets(
     if not os.path.isdir(path):
         return 0
     if pbs is None:
-        cand = [
-            int(e[3:]) for e in os.listdir(path) if e.startswith("pb=")
-        ]
+        # Sweep enumeration covers crashed buckets too: a bucket that
+        # survives only as pb=K.old (crash window 1) must still be a
+        # candidate so the recovery below restores it.
+        cand = sorted(
+            {
+                int(e[3:].removesuffix(".old"))
+                for e in os.listdir(path)
+                if e.startswith("pb=")
+                and e[3:].removesuffix(".old").isdigit()
+            }
+        )
     else:
         cand = pbs
     full = []
     for k in cand:
         d = os.path.join(path, f"pb={k}")
+        old = d + ".old"
+        if os.path.isdir(old):
+            # Crash recovery for this bucket's previous compaction:
+            # between the two renames the bucket dir is missing and
+            # .old is authoritative (restore it); after the second
+            # rename .old is the superseded copy (drop it). Either
+            # way no .old dir survives to confuse a later full-dir
+            # partition discovery.
+            if os.path.isdir(d):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, d)
         if not os.path.isdir(d):
             continue
         n = sum(1 for fn in os.listdir(d) if fn.startswith("part-"))

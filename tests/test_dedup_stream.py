@@ -685,3 +685,42 @@ def test_semantic_stream_keys_to_earliest_same_cluster_neighbor(
         assert b == i % 4
         assert kept_by == (0 if blob(i) == 0 else 4)
         assert cos > 0.9
+
+
+def test_compact_buckets_crash_recovery(spark, tmp_path):
+    """_compact_buckets' .old recovery rule, both crash windows: a
+    bucket whose dir is MISSING with .old present (crashed between
+    the two renames) is restored from .old; a bucket with BOTH
+    present (crashed before the cleanup rmtree) drops the superseded
+    .old. Either way no .old dir survives to break a later full-dir
+    partition discovery, and the relation's row set is intact."""
+    import os
+    import shutil as sh
+
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "rel")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("b_id"),
+        (F.col("id") % 4).cast("int").alias("pb"),
+    )
+    m._pb_append(df, path)
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    # window 1: bucket dir renamed away, .old authoritative
+    os.rename(os.path.join(path, "pb=1"), os.path.join(path, "pb=1.old"))
+    # window 2: both present (copy stands in for the superseded dir)
+    sh.copytree(
+        os.path.join(path, "pb=2"), os.path.join(path, "pb=2.old")
+    )
+    m._compact_buckets(spark, path, None)
+    entries = set(os.listdir(path))
+    assert "pb=1" in entries and "pb=1.old" not in entries
+    assert "pb=2" in entries and "pb=2.old" not in entries
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before
