@@ -42,6 +42,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # AQE SMJ->SHJ local rewrite (guide §3.1): the r13 fact-join
+        # merge hints rely on it to regain hash-join speed locally
+        # while keeping sort-merge as the safe at-scale strategy.
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     }
     for k, v in confs.items():
         try:

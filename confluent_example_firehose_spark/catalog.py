@@ -22,7 +22,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Relation-metadata memo (optimization r13, guide §6 "file listing is
+# cached per session"): `spark.read.parquet(path)` costs 90-230 ms of
+# driver-side work PER CALL on this box (FileIndex listing + footer
+# schema read + analysis), and every query invocation pays it for every
+# table it touches — ~0.1-0.45 s of the per-query wall was rebuilding
+# identical scan relations. The memo returns the SAME DataFrame object
+# (an immutable logical plan — no data, no results; every action still
+# scans the parquet in full), keyed by application, resolved path, and
+# the file-level data identity (size+mtime), so a regenerated table or
+# a new session can never serve a stale relation — the same key
+# discipline as caching.corpus_scalars. This is what a catalog does in
+# any engine (Hive relation cache / Iceberg table metadata); the
+# repeated-read.parquet form was the anomaly.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_CAP = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .caching import table_identity
+
+    sf_real = os.path.realpath(sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_real,
+        name,
+        table_identity(sf_real, name),
+    )
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_CAP:
+            _TABLE_CACHE.clear()
+        df = _load_table_uncached(spark, sf_real, name)
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # Normalize events.ts to TIMESTAMP_LTZ whatever the generator

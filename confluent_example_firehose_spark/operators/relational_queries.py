@@ -292,7 +292,24 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape. customer (filtered, small) broadcasts; the
     orders<->lineitem join shuffles on the shared key once; the
-    o_orderdate filter prunes before the join."""
+    o_orderdate filter prunes before the join.
+
+    Since r13 (optimization round, guide §3.1 "pick the strategy
+    deliberately"): the fact join carries an explicit merge hint.
+    Under the 64 MB auto-broadcast threshold the planner used to
+    broadcast LINEITEM — the 600k-row fact side — which serialized the
+    whole query behind a driver-built 25 MB hash relation and ran the
+    join + partial agg in the single scan task of the other side
+    (plans/r13/q_join_inner_before.txt). The hint restores the
+    scale-true shape: both facts exchange on the join key once, the
+    join and the aggregation run at full parallelism, and the groupBy
+    on (o_orderkey, ...) REUSES the join's orderkey partitioning (one
+    Exchange disappears: 2 -> 1 data exchanges). AQE converts the
+    sort-merge to a shuffled-hash join per partition when the local
+    map fits (session.py sets adaptive.maxShuffledHashJoinLocalMapThreshold),
+    so the local-mode cost matches the hinted SHJ plan while the safe
+    SMJ remains the fallback at scale. Measured (interleaved min-of-6
+    at sf0.1): 1.15 s -> 0.81 s."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -301,9 +318,11 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(oc.hint("merge"), li.l_orderkey == oc.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")

@@ -57,7 +57,17 @@ _CUTOFF = "1998-06-01"
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: segment-filtered customer ⋈ orders ⋈ lineitem,
     top-10 revenue. The customer filter (1/5 selectivity) is pushed to
-    the scan; order-side date predicate prunes before the fact join."""
+    the scan; order-side date predicate prunes before the fact join.
+
+    Since r13 (optimization round, guide §3.1): customer broadcasts
+    into orders first (dimension-sized), and the fact⋈fact join
+    carries an explicit merge hint — the auto-broadcast threshold used
+    to pick the shipdate-filtered LINEITEM (~300k rows) as the
+    broadcast side, serializing the query behind a driver-built hash
+    relation and a single-task probe (plans/r13/q_tpch_q3_before.txt).
+    With the hint both facts exchange once on orderkey, the groupBy on
+    (l_orderkey, ...) reuses that partitioning (no agg exchange), and
+    AQE's local SMJ->SHJ rewrite keeps hash-join speed in local mode."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -68,9 +78,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > _CUTOFF
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    oc = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(oc.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

@@ -29,6 +29,16 @@ def get_spark(app_name: str = "confluent-firehose-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join at
+        # runtime when every post-shuffle partition's build side fits
+        # locally (guide §3.1 — default 0 disables the rewrite). The
+        # logical plans keep SMJ as the safe strategy; this converts
+        # per partition from MEASURED sizes, so it is exactly as
+        # cluster-portable as AQE itself.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
