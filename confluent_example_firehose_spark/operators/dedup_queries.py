@@ -212,10 +212,17 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingleable docs only (>= 3 words), the same population the
     # shingle pipeline and the oracle's len(ws) >= 3 filter keep —
     # classes built from a wider population would emit within-class
-    # pairs the oracle excludes.
+    # pairs the oracle excludes. NOT persisted here (optimization r13):
+    # on the steady path the decision stats are a memo hit, the direct
+    # branch's only consumer of flt is the shingle pipeline, and
+    # Catalyst prunes the cfp column away entirely — a persisted flt
+    # forced a full (doc_id, text, md5) cache write per run that
+    # nothing read back. The contracted branch (3 consumers) persists
+    # below; a memo MISS pays one extra unpersisted scan for the
+    # decision census, once per corpus per session.
     flt = d.filter(F.size(words("text")) >= 3).select(
         "doc_id", "text", F.md5("text").alias("cfp")
-    ).persist()
+    )
     from ..caching import materialize_unpersist
 
     # Shared decision agg (dedup.adaptive_dup_stats, exact + memoized
@@ -254,9 +261,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jac") >= 0.2)
             .select("id_a", "id_b", F.round("jac", 6).alias("jac")),
             sh,
-            flt,
             defer=True,
         )
+    flt = flt.persist()
     members = flt.select("doc_id", "cfp")
     classes = flt.groupBy("cfp").agg(
         F.min("doc_id").alias("_id"),
