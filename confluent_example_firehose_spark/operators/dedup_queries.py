@@ -11,6 +11,7 @@ from .dedup import (
     NEAR_BUCKET_CAP,
     adaptive_dup_stats,
     bucket_pairs_refined,
+    compact_for_cache,
     contraction_worthwhile,
     doc_shingle_hashes,
     fan_out,
@@ -242,8 +243,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket shuffle, verify on hashed shingles; the 64-id
         # boilerplate drop trade applies, now confined to corpora with
         # immaterial duplicate mass (contraction_worthwhile docstring).
-        sh = doc_shingle_hashes(
-            flt.select("doc_id", "text"), "doc_id", "text", out="sh"
+        sh = compact_for_cache(
+            doc_shingle_hashes(
+                flt.select("doc_id", "text"), "doc_id", "text", out="sh"
+            )
         ).persist()
         cands = minhash_candidate_pairs(
             None, "doc_id", "text", num_hashes=32, bands=8, shingles=sh
@@ -412,7 +415,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
+    fp = compact_for_cache(
+        simhash_fingerprints(d, "doc_id", "text", portable=True)
+    )
     # memo_key shared with q_dedup_simhash8: both derive the identical
     # fingerprint table from the same corpus, so one decision agg
     # serves both (VERDICT r11 item 3).
@@ -455,7 +460,9 @@ def q_dedup_simhash8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    fp = simhash_fingerprints(d, "doc_id", "text", portable=True)
+    fp = compact_for_cache(
+        simhash_fingerprints(d, "doc_id", "text", portable=True)
+    )
     # Same memo entry as q_dedup_simhash (identical fingerprint table);
     # the cap differs per variant but the stats are corpus facts.
     pairs, caches = simhash_pairs_adaptive(
