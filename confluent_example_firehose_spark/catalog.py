@@ -39,22 +39,44 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 _TABLE_CACHE_CAP = 256
 
 
+def _session_uuid(spark: SparkSession) -> str:
+    """Identity of the LIVE session wrapper (ADVICE r13 item 1): two
+    sessions sharing one context (spark.newSession()) must not share
+    memoized relations — a DataFrame is bound to the session that built
+    it, so createOrReplaceTempView / session-conf-sensitive analysis
+    would otherwise follow the wrong session's catalog."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        return str(id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .caching import table_identity
 
     sf_real = os.path.realpath(sf_dir)
+    ident = table_identity(sf_real, name)
     key = (
         spark.sparkContext.applicationId,
+        _session_uuid(spark),
         sf_real,
         name,
-        table_identity(sf_real, name),
+        ident,
     )
     df = _TABLE_CACHE.get(key)
     if df is None:
-        if len(_TABLE_CACHE) >= _TABLE_CACHE_CAP:
-            _TABLE_CACHE.clear()
         df = _load_table_uncached(spark, sf_real, name)
-        _TABLE_CACHE[key] = df
+        # Re-stat after the build (ADVICE r13 item 4): a rewrite of the
+        # table between the stat and read.parquet would otherwise cache
+        # the NEW files' relation under the OLD identity key; skip
+        # caching when the identity moved — the next call re-keys.
+        if table_identity(sf_real, name) == ident:
+            if len(_TABLE_CACHE) >= _TABLE_CACHE_CAP:
+                # Evict the oldest insertion, not the whole memo
+                # (ADVICE r13 item 2: a full clear() forces every hot
+                # relation to repay the 90-230 ms rebuild at once).
+                _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+            _TABLE_CACHE[key] = df
     return df
 
 

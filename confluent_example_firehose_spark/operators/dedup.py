@@ -74,9 +74,16 @@ def compact_for_cache(df: DataFrame, factor: int = 8) -> DataFrame:
     repartition shuffle itself is batch-sized (runs at full upstream
     parallelism); measured on the sf0.1 bench headliners: the simhash
     pipeline's post-cache stages dropped 32 -> 4 tasks each,
-    interleaved min-of-10 2.02 -> 1.48 s."""
+    interleaved min-of-10 2.02 -> 1.48 s.
+
+    File-less frames (len(inputFiles()) == 0 — e.g. a frame built over
+    an in-memory or cached relation) pass through UNCHANGED (ADVICE r13
+    item 3): fan_out conservatively fans those OUT, and compacting them
+    here would be its inverse — at real scale it could wrongly collapse
+    the parallelism of a persisted relation. The compaction fires only
+    for the small-files case it was built for: 0 < files < cores."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
+    if 0 < len(df.inputFiles()) < target:
         return df.repartition(max(1, target // factor))
     return df
 

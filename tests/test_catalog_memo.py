@@ -34,6 +34,41 @@ def test_memo_result_matches_uncached(spark, sf_dir):
     assert cached.count() == fresh.count()
 
 
+def test_new_session_gets_own_relation(spark, sf_dir):
+    """ADVICE r13 item 1: sessions sharing one context must not share
+    memoized relations — the DataFrame is bound to the session that
+    built it (temp views / session confs would follow the wrong
+    catalog)."""
+    a = load_table(spark, sf_dir, "documents")
+    other = spark.newSession()
+    b = load_table(other, sf_dir, "documents")
+    assert a is not b
+    assert b.sparkSession is other
+    # and the original session still serves its own entry
+    assert load_table(spark, sf_dir, "documents") is a
+
+
+def test_eviction_keeps_other_entries(spark, tmp_path, monkeypatch):
+    """ADVICE r13 item 2: a full memo evicts ONE entry (oldest
+    insertion), not the whole dict."""
+    import confluent_example_firehose_spark.catalog as catalog
+    from pyspark.sql import Row
+
+    root = str(tmp_path)
+    for name in ("t_a", "t_b", "t_c"):
+        spark.createDataFrame([Row(doc_id=1)]).coalesce(1).write.parquet(
+            os.path.join(root, f"{name}.parquet")
+        )
+    monkeypatch.setattr(catalog, "_TABLE_CACHE", {})
+    monkeypatch.setattr(catalog, "_TABLE_CACHE_CAP", 2)
+    a = load_table(spark, root, "t_a")
+    b = load_table(spark, root, "t_b")
+    load_table(spark, root, "t_c")  # cap reached: evicts oldest (t_a)
+    assert len(catalog._TABLE_CACHE) == 2
+    assert load_table(spark, root, "t_b") is b  # survivor still served
+    assert load_table(spark, root, "t_a") is not a  # evicted: rebuilt
+
+
 def test_rewrite_in_place_misses(spark, tmp_path):
     root = str(tmp_path)
     p = os.path.join(root, "documents.parquet")

@@ -427,3 +427,19 @@ def test_simhash_adaptive_equals_contracted_on_both_shapes(spark):
         for c in caches + [classes]:
             c.unpersist()
         assert got == want
+
+
+def test_compact_for_cache_passes_through_fileless_frames(spark):
+    """ADVICE r13 item 3: a frame with NO input files (in-memory /
+    cached relation) must pass through compact_for_cache unchanged —
+    fan_out conservatively fans those OUT, and compacting them would be
+    its inverse (wrongly collapsing a persisted relation's parallelism
+    at real scale). Only the small-files case (0 < files < cores)
+    compacts."""
+    from confluent_example_firehose_spark.operators.dedup import (
+        compact_for_cache,
+    )
+
+    mem = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    assert len(mem.inputFiles()) == 0
+    assert compact_for_cache(mem) is mem
