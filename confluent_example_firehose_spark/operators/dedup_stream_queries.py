@@ -371,15 +371,57 @@ def _lazy_pbs(df: DataFrame, col):
     the FIRST time a consumer actually prunes with it (i.e. only when
     some state relation cleared PRUNE_MIN_STATE_BYTES) and its result
     is shared by every later consumer in the epoch. Callers must
-    resolve it only while `df`'s caches/lineage are valid."""
+    resolve it only while `df`'s caches/lineage are valid. Resolution
+    is lock-guarded (optimization r14): the per-relation maintenance
+    pipelines run from a thread pool and several share one bucket list
+    (members/classes/shingles all prune on the batch's cfp buckets) —
+    without the lock two threads would run the collect_set job twice."""
+    import threading
+
     box: list = []
+    lock = threading.Lock()
 
     def get() -> list[int]:
-        if not box:
-            box.append(_distinct_pbs(df, col))
+        with lock:
+            if not box:
+                box.append(_distinct_pbs(df, col))
         return box[0]
 
     return get
+
+
+def _run_concurrent(jobs) -> None:
+    """Run independent per-epoch maintenance jobs (zero-arg callables)
+    from a small thread pool and wait for all of them (guide §2.6
+    "overlap independent jobs"): Spark happily executes several jobs at
+    once inside one application — the five state-relation appends and
+    the two selective rewrites were only sequential because the driver
+    submitted them sequentially, so each tiny batch-sized job paid its
+    full submit + commit + listing constant back-to-back. FIFO
+    scheduling backfills each job's task tail with the next job's
+    tasks; at 100 TB the overlap hides the write-commit latency of each
+    append behind the others' compute. Exceptions: every job is always
+    awaited (no orphaned writes); the first failure (in submission
+    order) is re-raised after all jobs settle."""
+    jobs = list(jobs)
+    if len(jobs) <= 1:
+        for fn in jobs:
+            fn()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=len(jobs), thread_name_prefix="state-maint"
+    ) as ex:
+        futs = [ex.submit(fn) for fn in jobs]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
 
 
 def _index_epoch(
@@ -388,6 +430,8 @@ def _index_epoch(
     flt: DataFrame,
     ip: dict[str, str],
     meter: str,
+    executor=None,
+    pending: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame], list[int]]:
     """ONE epoch of contracted-LSH index maintenance — the
     q_dedup_near_stream kernel, extracted in r12 so the duplicate-
@@ -425,7 +469,16 @@ def _index_epoch(
     batch_pbs): the epoch's member rows, first-seen classes (cfp,
     rep_id, text), verified class pairs (cfp, other, jac — BOTH
     orientations), internal persists the caller must unpersist, and the
-    batch's cfp bucket list for the caller's own pruned lookups."""
+    batch's cfp bucket list for the caller's own pruned lookups.
+
+    `executor`/`pending` (optimization r14, guide §2.6): when a caller
+    passes a thread-pool executor and a list, the five state-relation
+    maintenance pipelines (append -> compaction, see below) are
+    SUBMITTED to it and their futures appended to `pending` instead of
+    being awaited here — the caller overlaps them with its own
+    index-independent work and joins them before anything re-reads the
+    index relations. With executor=None the pipelines still overlap
+    each other on a local pool but are fully joined before return."""
     rows_per_band = NEAR_STREAM_HASHES // NEAR_STREAM_BANDS
     members_b = (
         flt.select("doc_id", "cfp").withColumn("b_id", F.lit(b))
@@ -576,55 +629,84 @@ def _index_epoch(
     # the epoch wall (measured r13: q_dedup_near_stream 37 s -> 126 s
     # at sf0.1 before this fix). One batch-sized shuffle per append
     # buys one file per touched bucket per epoch.
-    _pb_append(
-        members_b.withColumn("pb", _pb(F.col("cfp"))), ip["members"]
-    )
-    _pb_append(
-        bands_n.withColumn("b_id", F.lit(b)).withColumn(
-            "pb", _pb(F.col("band_id"), F.col("band_hash"))
-        ),
-        ip["bands"],
-    )
-    _pb_append(
-        sh_n.withColumn("b_id", F.lit(b)).withColumn(
-            "pb", _pb(F.col("cfp"))
-        ),
-        ip["shingles"],
-    )
-    _pb_append(
-        new_cls.select("cfp", "rep_id")
-        .withColumn("b_id", F.lit(b))
-        .withColumn("pb", _pb(F.col("cfp"))),
-        ip["classes"],
-    )
-    _pb_append(
-        cp_new.withColumn("b_id", F.lit(b)).withColumn(
-            "pb", _pb(F.col("cfp"))
-        ),
-        ip["class_pairs"],
-    )
-    # Bound per-bucket file counts (every touched bucket just gained
-    # one file): compact any bucket at INDEX_COMPACT_FILES parts.
-    # Above the prune gate the sweep is limited to the epoch's
-    # touched buckets — batch cfp buckets for the cfp-keyed relations
-    # (new-class cfps are a subset), band buckets for bands, and the
-    # pair frame's own cfp buckets for class_pairs (its appended rows
-    # carry OLD-side cfps outside the batch) — resolved from frames
-    # already materialized this epoch; below it the full-dir listdir
-    # sweep is the cheap path, same stance as _pruned_scan.
-    for rel, key_pbs in (
-        ("members", batch_pbs),
-        ("classes", batch_pbs),
-        ("shingles", batch_pbs),
-        ("bands", band_pbs),
-        ("class_pairs", _lazy_pbs(cp_new, _pb(F.col("cfp")))),
-    ):
+    #
+    # Since r14 the five appends run as per-relation MAINTENANCE
+    # PIPELINES (append -> compaction sweep on the same relation),
+    # overlapped on a thread pool instead of submitted serially
+    # (guide §2.6; VERDICT r13 item 1): the relations are disjoint
+    # paths, every input frame is persisted or checkpointed by this
+    # point, and the sweep of relation X depends only on X's own
+    # files — nothing ordered the five pipelines against each other
+    # except the driver's serial submission, which charged each tiny
+    # batch-sized job its full submit+commit constant back-to-back
+    # (measured: 4.7-4.8 s of the ingest epoch wall, ~47% of
+    # _index_epoch). The compaction bound is unchanged: every touched
+    # bucket still compacts at INDEX_COMPACT_FILES parts, inside its
+    # own relation's pipeline. Above the prune gate the sweep is
+    # limited to the epoch's touched buckets — batch cfp buckets for
+    # the cfp-keyed relations (new-class cfps are a subset), band
+    # buckets for bands, and the pair frame's own cfp buckets for
+    # class_pairs (its appended rows carry OLD-side cfps outside the
+    # batch); below it the full-dir listdir sweep is the cheap path,
+    # same stance as _pruned_scan. `executor`/`pending` (cluster /
+    # ingest callers): the pipelines are submitted to the CALLER's
+    # pool and their futures appended to `pending` — the caller joins
+    # them after its own index-independent work (delta CC + state
+    # rewrites read only checkpointed/persisted epoch frames and the
+    # roots/comp relations, never the five index paths), and MUST
+    # join before anything re-reads or compacts the index relations.
+    def _maintain(rel: str, df: DataFrame, key_pbs) -> None:
+        _pb_append(df, ip[rel])
         pbs = (
             key_pbs()
             if _dir_bytes(ip[rel]) >= PRUNE_MIN_STATE_BYTES
             else None
         )
         _compact_buckets(s, ip[rel], pbs, f"{meter}_{rel}_compact")
+
+    jobs = [
+        (lambda rel=rel, df=df, kp=kp: _maintain(rel, df, kp))
+        for rel, df, kp in (
+            (
+                "members",
+                members_b.withColumn("pb", _pb(F.col("cfp"))),
+                batch_pbs,
+            ),
+            (
+                "bands",
+                bands_n.withColumn("b_id", F.lit(b)).withColumn(
+                    "pb", _pb(F.col("band_id"), F.col("band_hash"))
+                ),
+                band_pbs,
+            ),
+            (
+                "shingles",
+                sh_n.withColumn("b_id", F.lit(b)).withColumn(
+                    "pb", _pb(F.col("cfp"))
+                ),
+                batch_pbs,
+            ),
+            (
+                "classes",
+                new_cls.select("cfp", "rep_id")
+                .withColumn("b_id", F.lit(b))
+                .withColumn("pb", _pb(F.col("cfp"))),
+                batch_pbs,
+            ),
+            (
+                "class_pairs",
+                cp_new.withColumn("b_id", F.lit(b)).withColumn(
+                    "pb", _pb(F.col("cfp"))
+                ),
+                _lazy_pbs(cp_new, _pb(F.col("cfp"))),
+            ),
+        )
+    ]
+    if executor is None:
+        _run_concurrent(jobs)
+    else:
+        assert pending is not None, "executor requires a pending list"
+        pending.extend(executor.submit(j) for j in jobs)
     return (
         members_b,
         new_cls,
@@ -1464,18 +1546,38 @@ def _cluster_epoch(
     upserts = chg_old.unionByName(chg_new).withColumn(
         "pb", _pb(F.col("cfp"))
     )
-    wb = selective_state_rewrite(s, roots_root, upserts, ("cfp",))
-    LAST_REWRITE_BYTES.setdefault(f"{meter}_roots", []).append(wb)
     # Comp rows: upsert every touched component's (root, cmin); delete
     # absorbed roots (their label merged into another component's).
     comp_up = comp_new.withColumn("pb", _pb(F.col("root")))
     comp_del = merged.select(F.col("id").alias("root")).withColumn(
         "pb", _pb(F.col("root"))
     )
-    wb2 = selective_state_rewrite(
-        s, comp_root, comp_up, ("root",), delete_keys=comp_del
+    # The two selective rewrites run OVERLAPPED (r14, guide §2.6): they
+    # write disjoint relations (roots vs comp), read only this epoch's
+    # persisted/checkpointed frames plus their own relation's current
+    # IMMUTABLE version dir, and neither reads what the other writes —
+    # only the driver's serial submission ordered them, at ~2.2 s of
+    # per-epoch wall each (measured, ingest at sf0.1: the pair was 44%
+    # of _cluster_epoch).
+    wrote = {}
+
+    def _rw_roots() -> None:
+        wrote["roots"] = selective_state_rewrite(
+            s, roots_root, upserts, ("cfp",)
+        )
+
+    def _rw_comp() -> None:
+        wrote["comp"] = selective_state_rewrite(
+            s, comp_root, comp_up, ("root",), delete_keys=comp_del
+        )
+
+    _run_concurrent([_rw_roots, _rw_comp])
+    LAST_REWRITE_BYTES.setdefault(f"{meter}_roots", []).append(
+        wrote["roots"]
     )
-    LAST_REWRITE_BYTES.setdefault(f"{meter}_comp", []).append(wb2)
+    LAST_REWRITE_BYTES.setdefault(f"{meter}_comp", []).append(
+        wrote["comp"]
+    )
     return hits, [batch_cls, cur, merged, comp_new, st, comp_st]
 
 
@@ -1633,7 +1735,12 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     root = tempfile.mkdtemp(prefix="cluster_stream_")
+    maint = ThreadPoolExecutor(
+        max_workers=5, thread_name_prefix="cluster-maint"
+    )
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
         ip = _index_paths(root)
@@ -1655,13 +1762,25 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             flt = batch_df.filter(F.size(words("text")) >= 3).select(
                 "doc_id", "text", F.md5("text").alias("cfp")
             )
+            # Index maintenance (the five append->compact pipelines)
+            # OVERLAPS the delta-CC epoch (r14, guide §2.6): the
+            # cluster step reads only this epoch's checkpointed/
+            # persisted frames and the roots/comp relations — never
+            # the five index paths — so the two phases were ordered
+            # only by serial driver submission. Joined before the
+            # ledger write: the epoch must not end with maintenance
+            # in flight.
+            pending: list = []
             members_b, new_cls, cp_new, extra, _pbs = _index_epoch(
-                s, b, flt, ip, meter="q_cluster_stream"
+                s, b, flt, ip, meter="q_cluster_stream",
+                executor=maint, pending=pending,
             )
             hits, caches = _cluster_epoch(
                 s, b, members_b, new_cls, cp_new, roots_root,
                 comp_root, meter="q_cluster_stream",
             )
+            for f in pending:
+                f.result()
             # Ledger append IS the emission (VERDICT r12 item 2): the
             # per-epoch output lands in the sink relation, never a
             # driver list — and this write is the action materializing
@@ -1700,6 +1819,7 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = _ledger_result(spark, ledger, schema)
     finally:
+        maint.shutdown(wait=True)
         shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -1891,8 +2011,13 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cluster_id", T.LongType()),
         ]
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="ingest_stream_")
+    maint = ThreadPoolExecutor(
+        max_workers=5, thread_name_prefix="ingest-maint"
+    )
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
         ip = _index_paths(root)
@@ -1912,13 +2037,21 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch[0] += 1
             _assert_batch_membership(batch_df, b)
             qp = _quality_classes(batch_df)
+            # Index maintenance overlaps the cluster epoch (r14, guide
+            # §2.6 — see q_cluster_stream's per_batch); joined BEFORE
+            # the rep_map build below, which re-reads (and may race a
+            # compaction of) the classes relation.
+            pending: list = []
             members_b, new_cls, cp_new, extra, batch_pbs = _index_epoch(
-                s, b, qp, ip, meter="q_ingest_stream"
+                s, b, qp, ip, meter="q_ingest_stream",
+                executor=maint, pending=pending,
             )
             hits, caches = _cluster_epoch(
                 s, b, members_b, new_cls, cp_new, roots_root,
                 comp_root, meter="q_ingest_stream",
             )
+            for f in pending:
+                f.result()
             # Representative lookup: earlier-epoch classes from the
             # admitted-class state — BUCKET-PRUNED to the batch's cfp
             # buckets (VERDICT r12 item 1: this was the one full
@@ -1994,6 +2127,7 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = _ledger_result(spark, ledger, schema)
     finally:
+        maint.shutdown(wait=True)
         shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -724,3 +724,66 @@ def test_compact_buckets_crash_recovery(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(path).collect()
     )
     assert rows_after == rows_before
+
+
+def test_run_concurrent_awaits_all_and_reraises_first():
+    """Optimization r14: the overlapped maintenance runner must (a) run
+    EVERY job even when one fails — an orphaned in-flight state append
+    would corrupt the epoch — and (b) re-raise the first failure in
+    submission order after all jobs settle."""
+    import threading
+    import time as _t
+
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+
+    ran = []
+
+    def ok(tag, delay=0.0):
+        def job():
+            _t.sleep(delay)
+            ran.append(tag)
+        return job
+
+    def boom():
+        ran.append("boom")
+        raise RuntimeError("first failure")
+
+    with pytest.raises(RuntimeError, match="first failure"):
+        m._run_concurrent([ok("a"), boom, ok("b", 0.05)])
+    assert sorted(ran) == ["a", "b", "boom"]  # all jobs ran
+    # the single-job fast path runs inline (no pool)
+    tid = []
+    m._run_concurrent([lambda: tid.append(threading.get_ident())])
+    assert tid == [threading.get_ident()]
+
+
+def test_lazy_pbs_resolves_once_under_concurrency(spark):
+    """Optimization r14: several per-relation maintenance pipelines
+    share one lazy bucket list (members/classes/shingles all prune on
+    the batch's cfp buckets); concurrent resolution must run the
+    collect_set job ONCE and every caller must see the same list."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    import confluent_example_firehose_spark.operators.dedup_stream_queries as m
+
+    calls = []
+    real = m._distinct_pbs
+
+    def counting(df, col):
+        calls.append(1)
+        return real(df, col)
+
+    df = spark.range(100).select(F.col("id").alias("cfp"))
+    get = None
+    old = m._distinct_pbs
+    m._distinct_pbs = counting
+    try:
+        get = m._lazy_pbs(df, m._pb(F.col("cfp")))
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(lambda _: get(), range(4)))
+    finally:
+        m._distinct_pbs = old
+    assert len(calls) == 1  # resolved exactly once
+    assert all(r == results[0] for r in results)
