@@ -31,7 +31,11 @@ from .dedup import (
     minhash_signature,
     words,
 )
-from .sketch_stream_queries import SK_BATCHES, stage_key_batches
+from .sketch_stream_queries import (
+    SK_BATCHES,
+    run_concurrent,
+    stage_key_batches,
+)
 
 NEAR_STREAM_JAC = 0.2  # same verify threshold as q_dedup_near
 
@@ -390,38 +394,9 @@ def _lazy_pbs(df: DataFrame, col):
     return get
 
 
-def _run_concurrent(jobs) -> None:
-    """Run independent per-epoch maintenance jobs (zero-arg callables)
-    from a small thread pool and wait for all of them (guide §2.6
-    "overlap independent jobs"): Spark happily executes several jobs at
-    once inside one application — the five state-relation appends and
-    the two selective rewrites were only sequential because the driver
-    submitted them sequentially, so each tiny batch-sized job paid its
-    full submit + commit + listing constant back-to-back. FIFO
-    scheduling backfills each job's task tail with the next job's
-    tasks; at 100 TB the overlap hides the write-commit latency of each
-    append behind the others' compute. Exceptions: every job is always
-    awaited (no orphaned writes); the first failure (in submission
-    order) is re-raised after all jobs settle."""
-    jobs = list(jobs)
-    if len(jobs) <= 1:
-        for fn in jobs:
-            fn()
-        return
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(
-        max_workers=len(jobs), thread_name_prefix="state-maint"
-    ) as ex:
-        futs = [ex.submit(fn) for fn in jobs]
-        errs = []
-        for f in futs:
-            try:
-                f.result()
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-        if errs:
-            raise errs[0]
+# Overlap runner for independent per-epoch maintenance jobs (guide
+# §2.6) — shared with the batch staging writer, defined beside it.
+_run_concurrent = run_concurrent
 
 
 def _index_epoch(
