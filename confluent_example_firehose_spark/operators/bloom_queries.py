@@ -139,17 +139,31 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins. The exact-answer join is fingerprint-keyed and
     probe-bounded. At 100 TB this is the partition-skipping recipe:
     per-bucket position sets stay tiny, merge by union, and a lookup
-    touches only buckets whose filter says maybe."""
+    touches only buckets whose filter says maybe.
+
+    Since r14 (VERDICT r13 item 8, guide §2.1) the shared subtrees are
+    PERSISTED instead of re-planned per consumer: the fingerprint
+    relation `d` (narrow corpus-linear (doc_id, source, fp) — three
+    consumers used to mean three parquet scans and three full-corpus
+    md5 passes), the per-source bit relation (feeds the per-source
+    probe AND the merged filter), the probe set (TakeOrdered job: two
+    consumers), and the probe positions (three consumers). Caches are
+    released at the next drain point (materialize_unpersist defer) —
+    the same lifecycle every dedup headliner uses."""
+    from ..caching import materialize_unpersist
+
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id", "source", portable_hash60(F.col("text")).alias("fp")
         )
+        .persist()
     )
     bit_src = (
         d.select("source", F.explode(_positions(F.col("fp"))).alias("pos"))
         .distinct()
+        .persist()
     )
     bit_all = bit_src.select("pos").distinct()
     # ADVICE r7: cap the present probes at BLOOM_PROBE_N (TakeOrdered —
@@ -170,10 +184,10 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("bloom-absent-"), F.col("id").cast("string"))
         ).alias("key"),
     )
-    probes = present.unionByName(absent)
+    probes = present.unionByName(absent).persist()
     ppos = probes.select(
         "probe_id", "key", F.explode(_positions(F.col("key"))).alias("pos")
-    ).distinct()
+    ).distinct().persist()
     pn = ppos.groupBy("probe_id", "key").agg(F.count("*").alias("np"))
     maybe_src = (
         F.broadcast(ppos)
@@ -199,7 +213,7 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id")
         .agg(F.countDistinct("source").alias("n_present_sources"))
     )
-    return (
+    return materialize_unpersist(
         pn.join(n_maybe, "probe_id", "left")
         .join(ghit.withColumnRenamed("nhit", "gn"), "probe_id", "left")
         .join(n_present, "probe_id", "left")
@@ -215,7 +229,12 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_present_sources", F.lit(0)).alias(
                 "n_present_sources"
             ),
-        )
+        ),
+        d,
+        bit_src,
+        probes,
+        ppos,
+        defer=True,
     )
 
 
