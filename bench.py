@@ -159,29 +159,61 @@ def main() -> None:
     # stays honest — every run pays its full scan/shuffle/persist cost
     # at the target SF.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # INTERLEAVED mode (VERDICT r13 item 2, opt-in, additions-only):
+    # SPARK_GRAFT_BENCH_INTERLEAVED=1 round-robins the N runs ACROSS
+    # queries (N full passes over the headline list) instead of running
+    # each query's N back-to-back, so on a box with bursty hypervisor
+    # steal every query samples the same contention epochs and the
+    # per-query minima stay comparable to each other. Methodology is
+    # otherwise identical (same queries, same count() action, same
+    # min-of-N, same cache drain between runs); the default path is
+    # unchanged and remains the driver-comparable record.
+    interleaved = bool(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVED"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = fns.get(name)
-        if fn is None:
-            continue
-        best = None
+    if interleaved:
         for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()  # rows materialized; count forces full execution
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-            # Queries that persist() intermediates (dedup/simhash) must
-            # not leak cache into the next run's or query's numbers.
-            drain_pending()
-            spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+            for name in HEADLINE:
+                fn = fns.get(name)
+                if fn is None:
+                    continue
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                elapsed = time.perf_counter() - t0
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+                drain_pending()
+                spark.catalog.clearCache()
+        timings = {
+            name: round(timings[name], 4)
+            for name in HEADLINE
+            if name in timings
+        }
+    else:
+        for name in HEADLINE:
+            fn = fns.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()  # rows materialized; count forces execution
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+                # Queries that persist() intermediates (dedup/simhash)
+                # must not leak cache into the next run's or query's
+                # numbers.
+                drain_pending()
+                spark.catalog.clearCache()
+            timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
     # Environment snapshot: round-over-round BENCH deltas on a shared
     # box are meaningless without the load context (r3's uniform ~2x
     # "gain" tracked box load, not code — VERDICT r3).
     env: dict[str, object] = {"cpus": int(cpus), "runs": runs}
+    if interleaved:
+        env["interleaved"] = True
     try:
         env["loadavg_1m"], env["loadavg_5m"], env["loadavg_15m"] = (
             round(x, 2) for x in os.getloadavg()
