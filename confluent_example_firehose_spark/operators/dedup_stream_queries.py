@@ -1348,6 +1348,8 @@ def _cluster_epoch(
     roots_root: str,
     comp_root: str,
     meter: str,
+    executor=None,
+    pending: list | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """ONE epoch of incremental duplicate-cluster maintenance over the
     contracted LSH index's verified class pairs — the root-contracted
@@ -1533,26 +1535,29 @@ def _cluster_epoch(
     # IMMUTABLE version dir, and neither reads what the other writes —
     # only the driver's serial submission ordered them, at ~2.2 s of
     # per-epoch wall each (measured, ingest at sf0.1: the pair was 44%
-    # of _cluster_epoch).
-    wrote = {}
-
+    # of _cluster_epoch). With `executor`/`pending` (the _index_epoch
+    # protocol) they are SUBMITTED to the caller's pool instead, so the
+    # caller's ledger emission — which reads only this epoch's cached
+    # frames and the CURRENT (untouched) state versions, never the
+    # rewrites' new version dirs — proceeds in their shadow; the caller
+    # joins before unpersisting the epoch's caches (the rewrites read
+    # them) and before the epoch ends.
     def _rw_roots() -> None:
-        wrote["roots"] = selective_state_rewrite(
-            s, roots_root, upserts, ("cfp",)
-        )
+        wb = selective_state_rewrite(s, roots_root, upserts, ("cfp",))
+        LAST_REWRITE_BYTES.setdefault(f"{meter}_roots", []).append(wb)
 
     def _rw_comp() -> None:
-        wrote["comp"] = selective_state_rewrite(
+        wb = selective_state_rewrite(
             s, comp_root, comp_up, ("root",), delete_keys=comp_del
         )
+        LAST_REWRITE_BYTES.setdefault(f"{meter}_comp", []).append(wb)
 
-    _run_concurrent([_rw_roots, _rw_comp])
-    LAST_REWRITE_BYTES.setdefault(f"{meter}_roots", []).append(
-        wrote["roots"]
-    )
-    LAST_REWRITE_BYTES.setdefault(f"{meter}_comp", []).append(
-        wrote["comp"]
-    )
+    jobs = [_rw_roots, _rw_comp]
+    if executor is None:
+        _run_concurrent(jobs)
+    else:
+        assert pending is not None, "executor requires a pending list"
+        pending.extend(executor.submit(j) for j in jobs)
     return hits, [batch_cls, cur, merged, comp_new, st, comp_st]
 
 
@@ -1714,7 +1719,7 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="cluster_stream_")
     maint = ThreadPoolExecutor(
-        max_workers=5, thread_name_prefix="cluster-maint"
+        max_workers=7, thread_name_prefix="cluster-maint"
     )
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
@@ -1738,13 +1743,15 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "text", F.md5("text").alias("cfp")
             )
             # Index maintenance (the five append->compact pipelines)
-            # OVERLAPS the delta-CC epoch (r14, guide §2.6): the
-            # cluster step reads only this epoch's checkpointed/
-            # persisted frames and the roots/comp relations — never
-            # the five index paths — so the two phases were ordered
-            # only by serial driver submission. Joined before the
-            # ledger write: the epoch must not end with maintenance
-            # in flight.
+            # and the two state rewrites OVERLAP the delta-CC epoch
+            # and the ledger emission (r14, guide §2.6): the cluster
+            # step and the emission read only this epoch's
+            # checkpointed/persisted frames and the CURRENT (immutable)
+            # roots/comp versions — never the five index paths or the
+            # rewrites' new version dirs — so the phases were ordered
+            # only by serial driver submission. Everything joins before
+            # the epoch's caches unpersist (the in-flight jobs read
+            # them) and before the epoch ends.
             pending: list = []
             members_b, new_cls, cp_new, extra, _pbs = _index_epoch(
                 s, b, flt, ip, meter="q_cluster_stream",
@@ -1753,9 +1760,8 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             hits, caches = _cluster_epoch(
                 s, b, members_b, new_cls, cp_new, roots_root,
                 comp_root, meter="q_cluster_stream",
+                executor=maint, pending=pending,
             )
-            for f in pending:
-                f.result()
             # Ledger append IS the emission (VERDICT r12 item 2): the
             # per-epoch output lands in the sink relation, never a
             # driver list — and this write is the action materializing
@@ -1765,6 +1771,8 @@ def q_cluster_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("cluster_id").cast("long").alias("cluster_id"),
             ).write.mode("append").parquet(ledger)
+            for f in pending:
+                f.result()
             for c in (members_b, new_cls, cp_new, *extra, *caches):
                 c.unpersist()
 
@@ -1991,7 +1999,7 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="ingest_stream_")
     maint = ThreadPoolExecutor(
-        max_workers=5, thread_name_prefix="ingest-maint"
+        max_workers=7, thread_name_prefix="ingest-maint"
     )
     try:
         stage = stage_key_batches(d, root, SK_BATCHES, key="doc_id")
@@ -2015,17 +2023,23 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Index maintenance overlaps the cluster epoch (r14, guide
             # §2.6 — see q_cluster_stream's per_batch); joined BEFORE
             # the rep_map build below, which re-reads (and may race a
-            # compaction of) the classes relation.
-            pending: list = []
+            # compaction of) the classes relation. The cluster epoch's
+            # two rewrites ride a separate pending list: they touch no
+            # index relation, so they keep running in the shadow of
+            # the rep_map scan and the ledger append, joined at epoch
+            # end before the caches they read unpersist.
+            pend_idx: list = []
+            pend_rw: list = []
             members_b, new_cls, cp_new, extra, batch_pbs = _index_epoch(
                 s, b, qp, ip, meter="q_ingest_stream",
-                executor=maint, pending=pending,
+                executor=maint, pending=pend_idx,
             )
             hits, caches = _cluster_epoch(
                 s, b, members_b, new_cls, cp_new, roots_root,
                 comp_root, meter="q_ingest_stream",
+                executor=maint, pending=pend_rw,
             )
-            for f in pending:
+            for f in pend_idx:
                 f.result()
             # Representative lookup: earlier-epoch classes from the
             # admitted-class state — BUCKET-PRUNED to the batch's cfp
@@ -2070,6 +2084,8 @@ def q_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id").cast("long").alias("cluster_id"),
                 )
             ).write.mode("append").parquet(ledger)
+            for f in pend_rw:
+                f.result()
             for c in (members_b, new_cls, cp_new, *extra, *caches):
                 c.unpersist()
 
