@@ -79,9 +79,18 @@ def connected_components(
         # job pair. Measured at sf0.1 on the purchase graph: 5.05 s ->
         # 4.57 s warm, outputs identical; lineage truncation is intact
         # because the agg runs before the next round builds on labels.
+        # Init-census fold (r14, guide §2.4 job constants): the
+        # initial labels' sum used to be its own job before round 1;
+        # labels only ever DECREASE, so equal sums across two
+        # CONSECUTIVE rounds detect the fixpoint identically and the
+        # init checkpoint now materializes inside round 1's aggregate —
+        # one fewer job per invocation (per EPOCH in the streaming
+        # kernels). The only shape that pays more is an edgeless graph
+        # (one confirming round instead of zero); the streaming caller
+        # already short-circuits that case before calling.
         labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
         labels = labels.localCheckpoint(eager=False)
-        prev_sum = labels.agg(F.sum("comp")).first()[0]
+        prev_sum = None
         for _ in range(max_iters):
             msgs = edges.join(
                 labels.withColumnRenamed("id", "src"), "src"
@@ -93,7 +102,7 @@ def connected_components(
             )
             labels = labels.localCheckpoint(eager=False)
             cur_sum = labels.agg(F.sum("comp")).first()[0]
-            if cur_sum == prev_sum:
+            if prev_sum is not None and cur_sum == prev_sum:
                 converged = True
                 break
             prev_sum = cur_sum
