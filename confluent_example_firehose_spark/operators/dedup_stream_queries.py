@@ -1046,8 +1046,12 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = batch_df.sparkSession
             b = epoch[0]
             epoch[0] += 1
-            _assert_batch_membership(batch_df, b)
-            n_arrived = batch_df.count()
+            # Fused per-epoch census (r14, guide §2.4 job constants):
+            # the membership assert, the arrival count, and the
+            # quality-pass count each ran as a separate all-rows batch
+            # job — one aggregate over the SAME scan computes all
+            # three (assert semantics unchanged: checked over every
+            # row, raised before any state is touched).
             scored = (
                 batch_df.filter(F.col("text").isNotNull())
                 .select(F.md5("text").alias("fp"), words("text").alias("ws"))
@@ -1067,7 +1071,49 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ns").cast("double") / F.col("nw") >= 0.05)
                 & (F.col("nd").cast("double") / F.col("nw") >= 0.3)
             )
-            n_q = passed.count()
+            _ws = words("text")
+            _qual_ok = (
+                F.col("text").isNotNull()
+                & (F.size(_ws) >= 5)
+                & (
+                    F.size(
+                        F.filter(
+                            _ws,
+                            lambda w: w.isin(
+                                *[F.lit(x) for x in STOPWORDS]
+                            ),
+                        )
+                    ).cast("double")
+                    / F.size(_ws)
+                    >= 0.05
+                )
+                & (
+                    F.size(F.array_distinct(_ws)).cast("double")
+                    / F.size(_ws)
+                    >= 0.3
+                )
+            )
+            census = batch_df.agg(
+                F.count(F.lit(1)).alias("n_arrived"),
+                F.coalesce(
+                    F.sum(
+                        (F.col("doc_id") % SK_BATCHES != b).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("mis"),
+                F.coalesce(
+                    F.sum(_qual_ok.cast("long")), F.lit(0)
+                ).alias("n_q"),
+            ).first()
+            if census["mis"]:
+                raise RuntimeError(
+                    f"micro-batch {b} contains {census['mis']} rows "
+                    f"whose doc_id % {SK_BATCHES} != {b}: epoch "
+                    "counter / staged-file order drift — batch ids no "
+                    "longer match the oracle census"
+                )
+            n_arrived = census["n_arrived"]
+            n_q = census["n_q"]
             fps = (
                 passed.select("fp")
                 .distinct()
