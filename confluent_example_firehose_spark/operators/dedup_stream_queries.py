@@ -2358,7 +2358,12 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2 += t * t
         return pd.Series(d2.argmin(1).astype(np.int32))
 
+    from concurrent.futures import ThreadPoolExecutor
+
     root = tempfile.mkdtemp(prefix="semdedup_stream_")
+    maint = ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="semdedup-maint"
+    )
     try:
         stage = stage_key_batches(e, root, SK_BATCHES, key="vec_id")
         state = os.path.join(root, "classes")
@@ -2407,7 +2412,32 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             cl_pbs = _lazy_pbs(bcls, F.col("pb"))
-            if b > 0 and _has_state(state):
+            # The state append overlaps the emission (r14, guide §2.6):
+            # both read only the eagerly checkpointed epoch frames, the
+            # appended rows carry b_id = b and are invisible to the
+            # emission's b_id < b scan (whose file listing is fixed at
+            # plan build; new files only ever ADD), and the compaction
+            # sweep — the one op that may swap directories under a
+            # reader — stays strictly after the join. has_state is
+            # captured before the submit so the emission guard keeps
+            # its strictly-earlier meaning.
+            had_state = b > 0 and _has_state(state)
+
+            def _append_classes() -> None:
+                _pb_append(
+                    bcls.select(
+                        "cluster_id",
+                        "cfp",
+                        "v",
+                        "min_id",
+                        F.lit(b).alias("b_id"),
+                        "pb",
+                    ),
+                    state,
+                )
+
+            app = maint.submit(_append_classes)
+            if had_state:
                 st = _pruned_scan(
                     s, state, cl_pbs, b,
                     "q_dedup_semantic_stream_classes",
@@ -2450,17 +2480,7 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("kept_by").cast("long").alias("kept_by"),
                     F.col("cos").cast("double").alias("cos"),
                 ).write.mode("append").parquet(ledger)
-            _pb_append(
-                bcls.select(
-                    "cluster_id",
-                    "cfp",
-                    "v",
-                    "min_id",
-                    F.lit(b).alias("b_id"),
-                    "pb",
-                ),
-                state,
-            )
+            app.result()
             pbs = (
                 cl_pbs()
                 if _dir_bytes(state) >= PRUNE_MIN_STATE_BYTES
@@ -2486,5 +2506,6 @@ def q_dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = _ledger_result(spark, ledger, schema)
     finally:
+        maint.shutdown(wait=True)
         shutil.rmtree(root, ignore_errors=True)
     return out
