@@ -24,7 +24,11 @@ from ..catalog import load_table
 from ..registry import register
 from .dedup import words
 from .ir_queries import _TOKS_SQL, _terms_in, BM25_B, BM25_K1, BM25_QUERY
-from .sketch_stream_queries import SK_BATCHES, stage_key_batches
+from .sketch_stream_queries import (
+    SK_BATCHES,
+    run_concurrent,
+    stage_key_batches,
+)
 
 IX_TOP = 5  # served results per epoch (per-prefix BM25 top-k)
 
@@ -187,36 +191,50 @@ def q_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # dependent on doc_id, so grouping by it is free) — the
             # serve path then never joins a corpus-sized doc-length
             # relation.
-            toks.select(
-                "doc_id",
-                F.explode("toks").alias("term"),
-                F.size("toks").cast("double").alias("dl"),
-            ).groupBy("doc_id", "term", "dl").agg(
-                F.count("*").cast("double").alias("tf")
-            ).withColumn("pb", _pb(F.col("term"))).repartition(
-                "pb"
-            ).write.partitionBy("pb").mode("append").parquet(postings)
+            #
+            # The postings append and the stats merge write DISJOINT
+            # state paths and both read only the micro-batch, so they
+            # run overlapped (r14, guide §2.6); the serve read below
+            # depends on BOTH (its prefix-INCLUSIVE listing must see
+            # this epoch's posting files, its scoring reads the merged
+            # stats), so it stays strictly after the join.
+            def _append_postings() -> None:
+                toks.select(
+                    "doc_id",
+                    F.explode("toks").alias("term"),
+                    F.size("toks").cast("double").alias("dl"),
+                ).groupBy("doc_id", "term", "dl").agg(
+                    F.count("*").cast("double").alias("tf")
+                ).withColumn("pb", _pb(F.col("term"))).repartition(
+                    "pb"
+                ).write.partitionBy("pb").mode("append").parquet(
+                    postings
+                )
+
             # Running (n_docs, sum_dl): O(batch) aggregate + O(1) merge
             # into the one-row stats state, instead of re-aggregating
             # the full doc-length relation every epoch.
-            batch_stats = toks.agg(
-                F.count("*").alias("n_docs"),
-                F.coalesce(
-                    F.sum(F.size("toks").cast("long")), F.lit(0)
-                ).alias("sum_dl"),
-            )
-            if os.path.isdir(stats_path):
-                compact_state(
-                    s.read.parquet(stats_path)
-                    .unionByName(batch_stats)
-                    .agg(
-                        F.sum("n_docs").alias("n_docs"),
-                        F.sum("sum_dl").alias("sum_dl"),
-                    ),
-                    stats_path,
+            def _merge_stats() -> None:
+                batch_stats = toks.agg(
+                    F.count("*").alias("n_docs"),
+                    F.coalesce(
+                        F.sum(F.size("toks").cast("long")), F.lit(0)
+                    ).alias("sum_dl"),
                 )
-            else:
-                batch_stats.write.parquet(stats_path)
+                if os.path.isdir(stats_path):
+                    compact_state(
+                        s.read.parquet(stats_path)
+                        .unionByName(batch_stats)
+                        .agg(
+                            F.sum("n_docs").alias("n_docs"),
+                            F.sum("sum_dl").alias("sum_dl"),
+                        ),
+                        stats_path,
+                    )
+                else:
+                    batch_stats.write.parquet(stats_path)
+
+            run_concurrent([_append_postings, _merge_stats])
 
             stats = s.read.parquet(stats_path).select(
                 F.col("n_docs").cast("double").alias("n_docs"),
